@@ -1,0 +1,272 @@
+"""Typed configuration tree.
+
+Replaces the reference's three-tier config stack (mmengine python configs with
+``_base_`` inheritance + YAML with ``inherit_from`` deep-merge + per-scene
+habitat configs — SURVEY.md §5.6) with one typed dataclass tree. Defaults
+reproduce the shipped Replica values (configs/Replica/replica_coslam.yaml,
+configs/default.py in the reference).
+
+All shapes that feed jitted code (ray counts, sample counts, grid sizes) are
+plain ints here so they become static under `jax.jit`.
+"""
+from __future__ import annotations
+
+import dataclasses
+from dataclasses import dataclass, field
+from typing import Any, Dict, List, Optional, Tuple
+
+import numpy as np
+
+Bound = Tuple[Tuple[float, float], Tuple[float, float], Tuple[float, float]]
+
+
+@dataclass
+class GeneralConfig:
+    seed: int = 0
+    dataset: str = "Replica"
+    scene: str = "office0"
+    num_iter: int = 2000            # ref: configs/default.py:11
+    result_dir: str = "results"
+    data_dir: str = "data"
+
+
+@dataclass
+class CamConfig:
+    # ref: configs/Replica/replica_coslam.yaml cam section
+    H: int = 680
+    W: int = 1200
+    fx: float = 600.0
+    fy: float = 600.0
+    cx: float = 599.5
+    cy: float = 339.5
+    near: float = 0.0
+    far: float = 5.0
+    depth_trunc: float = 100.0
+    png_depth_scale: float = 6553.5
+    crop_edge: int = 0
+    downsample: int = 1
+
+    @property
+    def intrinsics(self) -> np.ndarray:
+        return np.array(
+            [[self.fx, 0, self.cx], [0, self.fy, self.cy], [0, 0, 1]],
+            dtype=np.float32,
+        )
+
+
+@dataclass
+class GridConfig:
+    # ref: replica_coslam.yaml grid section; tcnn HashGrid hyperparameters
+    enc: str = "HashGrid"
+    hash_size: int = 16             # log2 of table entries per level
+    n_levels: int = 16
+    n_features_per_level: int = 2
+    base_resolution: int = 16
+    voxel_sdf: float = 0.02         # finest resolution = max bbox len / this
+    voxel_color: float = 0.08
+    one_grid: bool = True           # oneGrid: color net reuses geometry grid
+    # position (one-blob) encoding — ref: replica_coslam.yaml pos section
+    pos_enc: str = "OneBlob"
+    pos_n_bins: int = 16
+
+
+@dataclass
+class DecoderConfig:
+    # ref: replica_coslam.yaml decoder section
+    geo_feat_dim: int = 15
+    hidden_dim: int = 32
+    num_layers: int = 2
+    hidden_dim_color: int = 32
+    num_layers_color: int = 2
+    pred_uncert: bool = False       # uncertainty as extra MLP output channel
+    uncert_grid: bool = True        # uncertainty as learnable voxel grid
+
+
+@dataclass
+class TrainingConfig:
+    # ref: replica_coslam.yaml training section
+    rgb_weight: float = 5.0
+    depth_weight: float = 0.1
+    sdf_weight: float = 1000.0
+    fs_weight: float = 10.0
+    uncert_weight: float = 0.005
+    eikonal_weight: float = 0.0
+    smooth_weight: float = 1e-6
+    smooth_pts: int = 32
+    smooth_vox: float = 0.1
+    smooth_margin: float = 0.05
+    n_samples_d: int = 32           # uniform samples near..far
+    range_d: float = 0.1            # +- range around measured depth
+    n_range_d: int = 11             # depth-guided samples
+    n_importance: int = 0
+    perturb: float = 1.0
+    white_bkgd: bool = False
+    trunc: float = 0.1
+    sc_factor: float = 1.0
+    rot_rep: str = "axis_angle"
+    rgb_missing: float = 0.05
+
+
+@dataclass
+class MapperConfig:
+    # ref: replica_coslam.yaml mapping section + slam section of default.py
+    sample: int = 2048
+    iters: int = 10
+    lr_embed: float = 0.01
+    lr_decoder: float = 0.01
+    lr_rot: float = 0.001
+    lr_trans: float = 0.001
+    keyframe_every: int = 5
+    map_every: int = 5
+    n_pixels: float = 0.05          # fraction of pixels stored per keyframe
+    first_iters: int = 200
+    optim_cur: bool = True
+    min_pixels_cur: int = 100
+    map_accum_step: int = 1
+    pose_accum_step: int = 5
+    map_wait_step: int = 0
+    filter_depth: bool = True
+    # active ray sampling — ref: configs/default.py:72-76
+    active_ray: bool = True
+    act_ray_oversample_mul: int = 4
+    act_ray_num_uncert_sample: int = 500
+    # scene AABB (meters) — ref: configs/<ds>/<scene>/coslam.yaml
+    bound: Bound = ((-2.2, 2.6), (-3.4, 2.1), (-1.4, 2.0))
+    marching_cubes_bound: Bound = ((-2.2, 2.6), (-3.4, 2.1), (-1.4, 2.0))
+    # uncertainty/SDF volume voxel size — ref: configs/default.py:65
+    voxel_size: float = 0.1
+    # tracking (disabled in every shipped config — ref: replica_coslam.yaml:30)
+    tracking_enable: bool = False
+    # uncertainty-grid optimizer — ref: coslam.py:240-243,397-399
+    lr_uncert: float = 1.0
+    uncert_accum_iters: int = 5
+
+    @property
+    def bound_np(self) -> np.ndarray:
+        return np.asarray(self.bound, dtype=np.float32)
+
+    @property
+    def mc_bound_np(self) -> np.ndarray:
+        return np.asarray(self.marching_cubes_bound, dtype=np.float32)
+
+
+@dataclass
+class MeshConfig:
+    # ref: replica_coslam.yaml mesh section
+    resolution: int = 512
+    render_color: bool = False
+    vis_freq: int = 500
+    voxel_eval: float = 0.05
+    voxel_final: float = 0.02
+
+
+@dataclass
+class PlannerConfig:
+    # ref: configs/default.py planner section
+    method: str = "naruto"
+    enable_active_planning: bool = True
+    enable_timing: bool = False
+    step_size: float = 0.1                  # meters
+    voxel_size: float = 0.1                 # uncertainty volume voxel size
+    uncert_top_k: int = 4000
+    uncert_top_k_subset: int = 300
+    gs_sensing_range: Tuple[float, float] = (0.5, 2.0)   # meters
+    safe_sdf: float = 0.8                   # voxels
+    force_uncert_aggre: bool = False
+    gs_z_levels: Optional[List[int]] = None  # None -> default [5, 11, 17]
+    obs_per_goal: int = 10
+    enable_uncert_filtering: bool = True
+    up_dir: Tuple[float, float, float] = (0.0, 0.0, 1.0)
+    local_planner_method: str = "RRTNaruto"
+    invalid_region_ratio_thre: float = 0.5
+    collision_dist_thre: float = 0.05       # meters
+    max_rot_deg: float = 10.0
+    # RRT — ref: configs/default.py:117-126
+    rrt_step_size: float = 1.0              # voxels (= step_size / voxel_size)
+    rrt_step_amplifier: int = 10
+    rrt_maxz: int = 100
+    rrt_max_iter: Optional[int] = None
+    rrt_z_levels: Optional[List[int]] = None
+    rrt_z_range: Optional[List[int]] = None
+    enable_eval: bool = False
+    enable_direct_line: bool = True
+    collision_thre: float = 0.5             # voxels (SDF collision threshold)
+
+
+@dataclass
+class SimConfig:
+    method: str = "analytic"    # analytic | replay | raycast
+    scene_path: str = ""        # mesh file (raycast) or frames dir (replay)
+    # pinhole sensor — ref: configs/Replica/office0/habitat.py camera section
+    pinhole_hw: Tuple[int, int] = (680, 1200)
+    focal: float = 600.0
+    # equirectangular sensor (collision sensing)
+    erp_hw: Tuple[int, int] = (1024, 2048)
+    invalid_depth_value: float = 1e8   # ref: habitat_simulator.py:142
+    analytic_scene: str = "box_room"   # analytic backend scene preset
+
+
+@dataclass
+class VisConfig:
+    # ref: configs/default.py visualizer section
+    vis_rgbd: bool = False
+    mesh_vis_freq: int = 500
+    enable_all_vis: bool = False
+    save_rgbd: bool = True
+    save_pose: bool = True
+    save_planning_path: bool = True
+    save_lookat_tgts: bool = True
+    save_state: bool = True
+    save_color_mesh: bool = True
+    save_uncert_mesh: bool = True
+    save_mesh_freq: int = 5
+    save_mesh_voxel_size: float = 0.05
+
+
+@dataclass
+class ParallelConfig:
+    """TPU sharding layout (no reference counterpart — SURVEY.md §2.7)."""
+    mesh_shape: Tuple[int, ...] = (1,)   # devices along the 'data' (ray) axis
+    axis_names: Tuple[str, ...] = ("data",)
+    shard_rays: bool = False             # shard the ray batch over 'data'
+    shard_volumes: bool = False          # shard dense volume queries
+
+
+@dataclass
+class MainConfig:
+    general: GeneralConfig = field(default_factory=GeneralConfig)
+    cam: CamConfig = field(default_factory=CamConfig)
+    grid: GridConfig = field(default_factory=GridConfig)
+    decoder: DecoderConfig = field(default_factory=DecoderConfig)
+    training: TrainingConfig = field(default_factory=TrainingConfig)
+    mapper: MapperConfig = field(default_factory=MapperConfig)
+    mesh: MeshConfig = field(default_factory=MeshConfig)
+    planner: PlannerConfig = field(default_factory=PlannerConfig)
+    sim: SimConfig = field(default_factory=SimConfig)
+    vis: VisConfig = field(default_factory=VisConfig)
+    parallel: ParallelConfig = field(default_factory=ParallelConfig)
+    # active planning / pose source — ref: configs/default.py slam section
+    enable_active_planning: bool = True
+    use_traj_pose: bool = False
+
+    def to_dict(self) -> Dict[str, Any]:
+        return dataclasses.asdict(self)
+
+    def replace(self, **kw) -> "MainConfig":
+        return dataclasses.replace(self, **kw)
+
+
+def deep_update(cfg: Any, overrides: Dict[str, Any]) -> Any:
+    """Apply a nested dict of overrides onto a dataclass tree (returns a new
+    tree). Mirrors the semantics of the reference's `update_recursive`
+    (src/utils/config_utils.py:63-76) on typed configs."""
+    updates = {}
+    for key, val in overrides.items():
+        if not hasattr(cfg, key):
+            raise KeyError(f"unknown config key: {key!r} on {type(cfg).__name__}")
+        cur = getattr(cfg, key)
+        if dataclasses.is_dataclass(cur) and isinstance(val, dict):
+            updates[key] = deep_update(cur, val)
+        else:
+            updates[key] = val
+    return dataclasses.replace(cfg, **updates)
