@@ -1,0 +1,161 @@
+"""Multi-resolution hash-grid encoding (instant-ngp style), TPU-native.
+
+Replaces tcnn's CUDA HashGrid used by the reference
+(src/slam/coslam/model/decoder.py:11, configs/Replica/replica_coslam.yaml
+grid: hash_size=16, n_levels=16, F=2, base_resolution=16; finest resolution =
+max AABB side / voxel_sdf — upstream JointEncoding.get_resolution contract,
+SURVEY.md §2.9).
+
+Design notes (TPU):
+  * All levels live in ONE flat [total_entries, F] table. The forward pass is
+    a single big gather (XLA lowers to efficient dynamic-gather on TPU); the
+    backward pass is its transpose scatter-add. Index computation is pure VPU
+    integer math on [N, L, 8] arrays — static shapes, no host sync.
+  * Levels whose dense vertex count fits in the table are indexed densely
+    (no collisions); finer levels use the instant-ngp spatial hash
+    (xor of per-axis primes, mod table size — table size is a power of two so
+    the mod is a mask).
+  * fp32 table by default; the gather/blend math is cheap compared to the MLP
+    matmuls that follow.
+"""
+from __future__ import annotations
+
+import functools
+from dataclasses import dataclass, field
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+# instant-ngp hash primes (pi1=1 keeps dense-ish x ordering)
+_PRIMES = (1, 2654435761, 805459861)
+
+
+@dataclass(frozen=True)
+class HashGridSpec:
+    n_levels: int = 16
+    n_features: int = 2
+    log2_table_size: int = 16
+    base_resolution: int = 16
+    finest_resolution: int = 256
+
+    @property
+    def table_size(self) -> int:
+        return 1 << self.log2_table_size
+
+    @functools.cached_property
+    def per_level_scale(self) -> float:
+        if self.n_levels == 1:
+            return 1.0
+        return float(
+            np.exp(np.log(self.finest_resolution / self.base_resolution)
+                   / (self.n_levels - 1))
+        )
+
+    @functools.cached_property
+    def resolutions(self) -> Tuple[int, ...]:
+        b = self.per_level_scale
+        return tuple(
+            int(np.floor(self.base_resolution * b ** l + 1e-6))
+            for l in range(self.n_levels)
+        )
+
+    @functools.cached_property
+    def level_sizes(self) -> Tuple[int, ...]:
+        """Entries per level: dense (res+1)^3 when it fits, else hash table."""
+        sizes = []
+        for res in self.resolutions:
+            dense = (res + 1) ** 3
+            sizes.append(min(dense, self.table_size))
+        return tuple(sizes)
+
+    @functools.cached_property
+    def level_offsets(self) -> Tuple[int, ...]:
+        offs = [0]
+        for s in self.level_sizes:
+            offs.append(offs[-1] + s)
+        return tuple(offs)
+
+    @property
+    def total_entries(self) -> int:
+        return self.level_offsets[-1]
+
+    @property
+    def output_dim(self) -> int:
+        return self.n_levels * self.n_features
+
+    @classmethod
+    def from_bound(cls, bound, voxel_sdf: float = 0.02, **kw) -> "HashGridSpec":
+        """Finest resolution from scene AABB, matching upstream
+        get_resolution: res = int(max_side / voxel_sdf)."""
+        bound = np.asarray(bound)
+        max_side = float((bound[:, 1] - bound[:, 0]).max())
+        return cls(finest_resolution=max(int(max_side / voxel_sdf), 16), **kw)
+
+
+def init_hash_table(key, spec: HashGridSpec, dtype=jnp.float32):
+    """tcnn-style init: uniform in [-1e-4, 1e-4]."""
+    return jax.random.uniform(
+        key, (spec.total_entries, spec.n_features), dtype=dtype,
+        minval=-1e-4, maxval=1e-4)
+
+
+def _corner_indices(x: jnp.ndarray, spec: HashGridSpec):
+    """Flat table indices + trilinear weights for all levels.
+
+    x: [N, 3] in [0, 1]. Returns (idx [N, L*8] int32, w [N, L, 8] float32).
+    """
+    n = x.shape[0]
+    L = spec.n_levels
+    res = jnp.asarray(spec.resolutions, dtype=jnp.float32)       # [L]
+    res_i = jnp.asarray(spec.resolutions, dtype=jnp.int32)       # [L]
+    offsets = jnp.asarray(spec.level_offsets[:-1], dtype=jnp.int32)  # [L]
+    sizes = jnp.asarray(spec.level_sizes, dtype=jnp.int32)       # [L]
+    dense = jnp.asarray(
+        [(r + 1) ** 3 <= spec.table_size for r in spec.resolutions],
+        dtype=jnp.bool_)                                          # [L]
+
+    # position on each level's grid: [N, L, 3]
+    pos = x[:, None, :] * res[None, :, None]
+    i0 = jnp.clip(jnp.floor(pos).astype(jnp.int32), 0,
+                  (res_i - 1)[None, :, None])
+    frac = jnp.clip(pos - i0.astype(jnp.float32), 0.0, 1.0)
+
+    # 8 corner offsets [8, 3]
+    corners = jnp.asarray(
+        [[cx, cy, cz] for cx in (0, 1) for cy in (0, 1) for cz in (0, 1)],
+        dtype=jnp.int32)
+    cidx = i0[:, :, None, :] + corners[None, None, :, :]          # [N, L, 8, 3]
+
+    # dense index: x + y*(res+1) + z*(res+1)^2 ; hashed: xor of primes & mask
+    s = (res_i + 1)[None, :, None]                                # [1, L, 1]
+    dense_idx = (cidx[..., 0] + cidx[..., 1] * s + cidx[..., 2] * s * s)
+    cu = cidx.astype(jnp.uint32)
+    h = (cu[..., 0] * jnp.uint32(_PRIMES[0])) \
+        ^ (cu[..., 1] * jnp.uint32(_PRIMES[1])) \
+        ^ (cu[..., 2] * jnp.uint32(_PRIMES[2]))
+    # level table sizes are powers of two for hashed levels -> mod == mask
+    hash_idx = (h & (sizes.astype(jnp.uint32) - 1)[None, :, None]).astype(jnp.int32)
+    idx = jnp.where(dense[None, :, None], dense_idx, hash_idx)
+    idx = idx + offsets[None, :, None]                            # [N, L, 8]
+
+    # trilinear weights: prod over axes of (1-frac or frac)
+    cf = corners.astype(jnp.float32)                              # [8, 3]
+    w = jnp.prod(
+        jnp.where(cf[None, None, :, :] > 0.5, frac[:, :, None, :],
+                  1.0 - frac[:, :, None, :]),
+        axis=-1)                                                  # [N, L, 8]
+    return idx.reshape(n, L * 8), w
+
+
+def hash_encode(table: jnp.ndarray, x: jnp.ndarray,
+                spec: HashGridSpec) -> jnp.ndarray:
+    """Encode points. table: [total, F]; x: [N, 3] in [0,1].
+    Returns [N, L*F] features."""
+    n = x.shape[0]
+    idx, w = _corner_indices(x, spec)
+    feats = jnp.take(table, idx, axis=0)                  # [N, L*8, F]
+    feats = feats.reshape(n, spec.n_levels, 8, spec.n_features)
+    out = jnp.sum(feats * w[..., None], axis=2)           # [N, L, F]
+    return out.reshape(n, spec.output_dim)
