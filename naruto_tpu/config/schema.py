@@ -130,6 +130,10 @@ class MapperConfig:
     active_ray: bool = True
     act_ray_oversample_mul: int = 4
     act_ray_num_uncert_sample: int = 500
+    # the reference's argpartition picks the K LOWEST-uncertainty candidates
+    # (active_ray_sampler.py:127) though its docstring says highest; False
+    # reproduces the shipped behavior, True follows the paper's description
+    active_select_highest: bool = False
     # scene AABB (meters) — ref: configs/<ds>/<scene>/coslam.yaml
     bound: Bound = ((-2.2, 2.6), (-3.4, 2.1), (-1.4, 2.0))
     marching_cubes_bound: Bound = ((-2.2, 2.6), (-3.4, 2.1), (-1.4, 2.0))

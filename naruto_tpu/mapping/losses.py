@@ -1,0 +1,146 @@
+"""Mapping losses.
+
+Parity contracts (values match the reference on unpadded batches; every mean
+uses explicit mask-aware denominators so padded rays contribute exactly
+nothing — the static-shape substitute for the reference's dynamic ray
+counts):
+  * rgb loss — scene_rep.py:248-253: per-ray weight 1 (valid depth) or
+    rgb_missing (invalid), mse over all rays x 3 channels.
+  * depth loss — scene_rep.py:255: mse over valid-depth rays.
+  * free-space + sdf losses — upstream get_sdf_loss/get_masks (SURVEY §2.9):
+      front region  z <  d - trunc : sdf supervised to +1
+      trunc region |z - d| < trunc : z + sdf*trunc supervised to d
+    each an mse over ALL [N, S] elements scaled by (1 - n_region/n_both).
+  * uncertainty NLL — scene_rep.py:278-284:
+      mean((d_hat - d)^2 / (2 sigma)) + 0.5 mean(log sigma), valid rays only,
+      sigma = rendered uncert_map (+1e-9).
+  * smoothness — upstream CoSLAM.smoothness: total-variation^2 of the hash
+    embedding on a random (smooth_pts-1)^3 sub-grid with margin, divided by
+    smooth_pts^3.
+"""
+from __future__ import annotations
+
+from typing import Dict, NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from naruto_tpu.mapping.field import FieldSpec, query_embed
+
+
+class LossWeights(NamedTuple):
+    rgb: float = 5.0
+    depth: float = 0.1
+    sdf: float = 1000.0
+    fs: float = 10.0
+    uncert: float = 0.005
+    smooth: float = 1e-6
+    rgb_missing: float = 0.05
+    trunc: float = 0.1
+    sc_factor: float = 1.0
+    depth_trunc: float = 100.0
+    smooth_pts: int = 32
+    smooth_vox: float = 0.1
+    smooth_margin: float = 0.05
+
+
+def _safe_div(num, den):
+    return num / jnp.maximum(den, 1.0)
+
+
+def rgb_depth_losses(rend: Dict, target_rgb, target_d, ray_mask, lw: LossWeights):
+    valid = ((target_d[:, 0] > 0.0)
+             & (target_d[:, 0] < lw.depth_trunc)) & (ray_mask > 0)
+    validf = valid.astype(jnp.float32)
+    n_real = jnp.sum(ray_mask)
+
+    w = jnp.where(valid, 1.0, lw.rgb_missing)[:, None] * ray_mask[:, None]
+    rgb_se = jnp.square(w * (rend["rgb"] - target_rgb))
+    rgb_loss = _safe_div(jnp.sum(rgb_se), n_real * 3.0)
+
+    d_se = jnp.square(rend["depth"] - target_d[:, 0]) * validf
+    depth_loss = _safe_div(jnp.sum(d_se), jnp.sum(validf))
+    return rgb_loss, depth_loss, valid
+
+
+def sdf_losses(sdf, z_vals, target_d, ray_mask, lw: LossWeights):
+    """sdf, z_vals: [N, S]; target_d: [N, 1]."""
+    tr = lw.trunc * lw.sc_factor
+    n, s = sdf.shape
+    rm = ray_mask[:, None]
+    front_raw = (z_vals < target_d - tr).astype(jnp.float32)
+    back = (z_vals > target_d + tr).astype(jnp.float32)
+    depth_ok = (target_d > 0.0).astype(jnp.float32)
+    front = front_raw * rm
+    sdf_mask = (1.0 - front_raw) * (1.0 - back) * depth_ok * rm
+
+    n_elems = jnp.sum(ray_mask) * s
+    n_fs = jnp.sum(front)
+    n_sdf = jnp.sum(sdf_mask)
+    n_both = jnp.maximum(n_fs + n_sdf, 1.0)
+    fs_factor = 1.0 - n_fs / n_both
+    sdf_factor = 1.0 - n_sdf / n_both
+
+    fs_loss = _safe_div(jnp.sum(jnp.square((sdf - 1.0) * front)),
+                        n_elems) * fs_factor
+    sdf_loss = _safe_div(
+        jnp.sum(jnp.square((z_vals + sdf * tr - target_d) * sdf_mask)),
+        n_elems) * sdf_factor
+    return fs_loss, sdf_loss
+
+
+def uncert_loss(rend: Dict, target_d, valid_mask, lw: LossWeights):
+    sigma = rend["uncert_map"] + 1e-9
+    vm = valid_mask.astype(jnp.float32)
+    nv = jnp.maximum(jnp.sum(vm), 1.0)
+    err2 = jnp.square(rend["depth"] - target_d[:, 0])
+    nll = jnp.sum((err2 / (2.0 * sigma)) * vm) / nv
+    log_term = 0.5 * jnp.sum(jnp.log(sigma) * vm) / nv
+    return nll + log_term
+
+
+def smoothness_loss(params, spec: FieldSpec, key, lw: LossWeights):
+    """TV^2 of hash embeddings on a random sub-grid."""
+    n = lw.smooth_pts - 1
+    bound = jnp.asarray(spec.bound_np)
+    extent = bound[:, 1] - bound[:, 0]
+    grid_size = n * lw.smooth_vox
+    k1, k2 = jax.random.split(key)
+    offset_max = jnp.maximum(extent - grid_size - 2 * lw.smooth_margin, 0.0)
+    offset = jax.random.uniform(k1, (3,)) * offset_max + lw.smooth_margin
+    coords = jnp.stack(jnp.meshgrid(
+        jnp.arange(n, dtype=jnp.float32),
+        jnp.arange(n, dtype=jnp.float32),
+        jnp.arange(n, dtype=jnp.float32), indexing="ij"), axis=-1)
+    jitter = jax.random.uniform(k2, (1, 1, 1, 3))
+    pts = (coords + jitter) * lw.smooth_vox + bound[:, 0] + offset
+    x01 = ((pts - bound[:, 0]) / extent).reshape(-1, 3)
+    emb = query_embed(params, x01, spec).reshape(n, n, n, -1)
+    tv = (jnp.sum(jnp.square(emb[1:] - emb[:-1]))
+          + jnp.sum(jnp.square(emb[:, 1:] - emb[:, :-1]))
+          + jnp.sum(jnp.square(emb[:, :, 1:] - emb[:, :, :-1])))
+    return tv / (lw.smooth_pts ** 3)
+
+
+def total_loss(params, spec: FieldSpec, rend: Dict, target_rgb, target_d,
+               ray_mask, key, lw: LossWeights,
+               with_smooth: bool = True) -> tuple[jnp.ndarray, Dict]:
+    """Weighted sum — ref get_loss_from_ret (coslam.py:154-174)."""
+    rgb_l, depth_l, valid = rgb_depth_losses(rend, target_rgb, target_d,
+                                             ray_mask, lw)
+    fs_l, sdf_l = sdf_losses(rend["sdf"], rend["z_vals"], target_d,
+                             ray_mask, lw)
+    loss = (lw.rgb * rgb_l + lw.depth * depth_l + lw.sdf * sdf_l
+            + lw.fs * fs_l)
+    aux = {"rgb_loss": rgb_l, "depth_loss": depth_l, "sdf_loss": sdf_l,
+           "fs_loss": fs_l}
+    if "uncert_map" in rend:
+        u_l = uncert_loss(rend, target_d, valid, lw)
+        loss = loss + lw.uncert * u_l
+        aux["uncert_loss"] = u_l
+    if with_smooth and lw.smooth > 0:
+        s_l = smoothness_loss(params, spec, key, lw)
+        loss = loss + lw.smooth * s_l
+        aux["smooth_loss"] = s_l
+    aux["total"] = loss
+    return loss, aux

@@ -1,0 +1,487 @@
+"""The neural mapper: jitted scan-based bundle-adjustment on TPU.
+
+Re-designs the reference CoSLAMNaruto (src/slam/coslam/coslam.py) as a
+functional core: `MapperState` (field params, optimizer states, keyframe ray
+buffer, pose table, cached uncertainty volume) is transformed by three jitted
+programs —
+
+  * first_frame_map : 200-iteration `lax.scan` of (sample pixels -> render ->
+    loss -> Adam) on frame 0 (ref: first_frame_mapping, coslam.py:176-226;
+    uncertainty-grid gradients accumulate across all iterations and are
+    applied once at the end — the reference zero_grads before the loop and
+    steps the lr=1 Adam after it).
+  * ba_step : `mapping.iters`-iteration scan of global bundle adjustment
+    (ref: global_BA, coslam.py:246-407): sample rays from the keyframe DB +
+    depth-filtered current frame, optional uncertainty-guided active
+    resampling (ref: active_ray_sampler.py), render, weighted losses, Adam on
+    {hash table (eps 1e-15), decoders (wd 1e-6)} every iteration and on the
+    uncertainty grid every `uncert_accum_iters` iterations with accumulated
+    gradients (ref: coslam.py:397-399,409-419,240-243).
+  * map_volumes : dense SDF+uncertainty query of the whole AABB at the
+    planner voxel size (ref: coslam_utils.get_map_volumes:59-97), with
+    uncertainty zeroed off-surface (keep 0 <= sdf < 0.5).
+
+Static-shape strategy (the reference's ray counts are dynamic): the current-
+frame ray block is padded to a small set of power-of-two "buckets"; a mask
+carries the true count into mask-aware losses, and the host picks the
+compiled bucket from the keyframe count. Steady-state waste is <2%.
+
+Active-ray parity note: the reference selects the K *lowest*-uncertainty
+candidates (np.argpartition(...)[:K], active_ray_sampler.py:127) although its
+docstring says highest — `active_select_highest` reproduces the observed
+behavior by default and can flip it. The volume lookup uses 1/voxel_size
+scaling (the reference hardcodes x10 == 1/0.1).
+"""
+from __future__ import annotations
+
+import functools
+from typing import Dict, NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from naruto_tpu.config.schema import MainConfig
+from naruto_tpu.geometry.rays import get_camera_rays
+from naruto_tpu.geometry.voxel import volume_shape, world_grid
+from naruto_tpu.mapping.field import (
+    FieldSpec, field_query, init_field_params, normalize_world, query_sdf,
+)
+from naruto_tpu.mapping.keyframes import (
+    KeyframeDB, add_keyframe, init_keyframe_db, sample_global_rays,
+)
+from naruto_tpu.mapping.losses import LossWeights, total_loss
+from naruto_tpu.mapping.render import RenderConfig, render_rays
+from naruto_tpu.utils.printer import InfoPrinter
+
+CUR_BUCKETS = (512, 1024, 2048, 4096, 8192)
+
+MAP_PARAM_KEYS = ("table", "sdf_mlp", "color_mlp")
+
+
+class MapperState(NamedTuple):
+    params: Dict
+    map_opt_state: optax.OptState
+    uncert_opt_state: optax.OptState
+    uncert_accum: jnp.ndarray
+    kf: KeyframeDB
+    poses: jnp.ndarray          # [num_frames + 1, 4, 4] RDF c2w
+    uncert_vol: jnp.ndarray     # cached [X, Y, Z] for active-ray sampling
+
+
+def _map_params(params):
+    return {k: params[k] for k in MAP_PARAM_KEYS}
+
+
+def _make_map_optimizer(cfg: MainConfig):
+    """Two param groups — ref create_optimizer (coslam.py:409-419):
+    decoder: Adam(lr_decoder, wd=1e-6); embeddings: Adam(lr_embed, eps=1e-15);
+    betas (0.9, 0.99)."""
+    decoder_tx = optax.chain(
+        optax.add_decayed_weights(1e-6),
+        optax.scale_by_adam(b1=0.9, b2=0.99, eps=1e-8),
+        optax.scale(-cfg.mapper.lr_decoder),
+    )
+    embed_tx = optax.chain(
+        optax.scale_by_adam(b1=0.9, b2=0.99, eps=1e-15),
+        optax.scale(-cfg.mapper.lr_embed),
+    )
+    def label_fn(params):
+        return {
+            "table": "embed",
+            "sdf_mlp": ["decoder"] * len(params["sdf_mlp"]),
+            "color_mlp": ["decoder"] * len(params["color_mlp"]),
+        }
+    return optax.multi_transform(
+        {"embed": embed_tx, "decoder": decoder_tx}, label_fn)
+
+
+def _make_uncert_optimizer(cfg: MainConfig):
+    """Adam lr=1 on the uncertainty grid — ref coslam.py:240-243."""
+    return optax.chain(
+        optax.scale_by_adam(b1=0.9, b2=0.99, eps=1e-8),
+        optax.scale(-cfg.mapper.lr_uncert),
+    )
+
+
+def _transform_rays(rays: jnp.ndarray, poses: jnp.ndarray):
+    """rays [N,7] cam-frame, poses [N,4,4] -> world (rays_o, rays_d, rgb, d)."""
+    d_cam = rays[:, :3]
+    rays_d = jnp.einsum("nij,nj->ni", poses[:, :3, :3], d_cam)
+    rays_o = poses[:, :3, 3]
+    return rays_o, rays_d, rays[:, 3:6], rays[:, 6:7]
+
+
+class Mapper:
+    """Host-facing mapper with the reference's online API
+    (online_recon_step / save_ckpt / predict_sdf — coslam.py:537,494,519)."""
+
+    def __init__(self, cfg: MainConfig, printer: Optional[InfoPrinter] = None):
+        self.cfg = cfg
+        self.printer = printer or InfoPrinter(quiet=True)
+        m, t, c = cfg.mapper, cfg.training, cfg.cam
+
+        self.spec = FieldSpec(
+            bound=tuple(tuple(b) for b in m.bound),
+            n_levels=cfg.grid.n_levels,
+            n_features=cfg.grid.n_features_per_level,
+            log2_hashmap_size=cfg.grid.hash_size,
+            base_resolution=cfg.grid.base_resolution,
+            voxel_sdf=cfg.grid.voxel_sdf,
+            pos_n_bins=cfg.grid.pos_n_bins,
+            geo_feat_dim=cfg.decoder.geo_feat_dim,
+            hidden_dim=cfg.decoder.hidden_dim,
+            num_layers=cfg.decoder.num_layers,
+            hidden_dim_color=cfg.decoder.hidden_dim_color,
+            num_layers_color=cfg.decoder.num_layers_color,
+            uncert_grid=cfg.decoder.uncert_grid,
+            pred_uncert=cfg.decoder.pred_uncert,
+            uncert_voxel_size=m.voxel_size,
+        )
+        self.rc = RenderConfig(
+            near=c.near, far=c.far, n_range_d=t.n_range_d, range_d=t.range_d,
+            n_samples_d=t.n_samples_d, perturb=t.perturb, trunc=t.trunc,
+            sc_factor=t.sc_factor)
+        self.lw = LossWeights(
+            rgb=t.rgb_weight, depth=t.depth_weight, sdf=t.sdf_weight,
+            fs=t.fs_weight, uncert=t.uncert_weight, smooth=t.smooth_weight,
+            rgb_missing=t.rgb_missing, trunc=t.trunc, sc_factor=t.sc_factor,
+            depth_trunc=c.depth_trunc, smooth_pts=t.smooth_pts,
+            smooth_vox=t.smooth_vox, smooth_margin=t.smooth_margin)
+
+        self.H, self.W = c.H // c.downsample, c.W // c.downsample
+        self.fx, self.fy = c.fx // c.downsample, c.fy // c.downsample
+        self.cx, self.cy = c.cx // c.downsample, c.cy // c.downsample
+        self.rays_d_cam = jnp.asarray(
+            get_camera_rays(self.H, self.W, self.fx, self.fy, self.cx,
+                            self.cy).reshape(-1, 3))
+
+        num_frames = cfg.general.num_iter
+        self.num_kf = num_frames // m.keyframe_every + 1
+        self.rays_per_kf = max(int(self.H * self.W * m.n_pixels), 1)
+
+        self.vol_shape = volume_shape(m.bound_np, m.voxel_size)
+        grid = world_grid(m.bound_np, m.voxel_size).reshape(-1, 3)
+        self.grid01 = jnp.asarray(
+            (grid - m.bound_np[:, 0])
+            / (m.bound_np[:, 1] - m.bound_np[:, 0]))
+
+        self.map_tx = _make_map_optimizer(cfg)
+        self.uncert_tx = _make_uncert_optimizer(cfg)
+
+        key = jax.random.PRNGKey(cfg.general.seed)
+        key, k_init = jax.random.split(key)
+        params = init_field_params(k_init, self.spec)
+        self.state = MapperState(
+            params=params,
+            map_opt_state=self.map_tx.init(_map_params(params)),
+            uncert_opt_state=self.uncert_tx.init(
+                params.get("uncert_grid", jnp.zeros(()))),
+            uncert_accum=jnp.zeros_like(
+                params.get("uncert_grid", jnp.zeros(()))),
+            kf=init_keyframe_db(self.num_kf, self.rays_per_kf),
+            poses=jnp.tile(jnp.eye(4, dtype=jnp.float32),
+                           (num_frames + 1, 1, 1)),
+            uncert_vol=jnp.zeros(self.vol_shape, dtype=jnp.float32),
+        )
+        self._key = key
+        self.step = 0
+        self._ba_jits: Dict[int, callable] = {}
+        self._ff_jit = jax.jit(self._first_frame_impl, donate_argnums=(0,))
+        self._vol_jit = jax.jit(self._volumes_impl)
+        self._sdf_query_jit = jax.jit(
+            lambda params, x01: query_sdf(params, x01, self.spec,
+                                          with_uncert=True))
+
+    # ------------------------------------------------------------------ rng
+    def _next_key(self):
+        self._key, k = jax.random.split(self._key)
+        return k
+
+    def update_step(self, step: int) -> None:
+        self.step = step
+
+    # ------------------------------------------------------- frame handling
+    def frame_to_rays(self, color, depth) -> jnp.ndarray:
+        """[H,W,3] color in [0,1], [H,W] depth -> [H*W, 7] ray storage."""
+        color = jnp.asarray(color, dtype=jnp.float32).reshape(-1, 3)
+        depth = jnp.asarray(depth, dtype=jnp.float32).reshape(-1, 1)
+        return jnp.concatenate([self.rays_d_cam, color, depth], axis=-1)
+
+    # ------------------------------------------------------- loss + update
+    def _loss_fn(self, params, key, rays_o, rays_d, target_rgb, target_d,
+                 ray_mask, with_smooth):
+        k_render, k_smooth = jax.random.split(key)
+        rend = render_rays(params, self.spec, self.rc, k_render,
+                           rays_o, rays_d, target_d)
+        loss, aux = total_loss(params, self.spec, rend, target_rgb, target_d,
+                               ray_mask, k_smooth, self.lw,
+                               with_smooth=with_smooth)
+        return loss, aux
+
+    def _apply_map_update(self, state: MapperState, grads):
+        mp = _map_params(state.params)
+        updates, new_opt = self.map_tx.update(_map_params(grads),
+                                              state.map_opt_state, mp)
+        new_mp = optax.apply_updates(mp, updates)
+        params = dict(state.params)
+        params.update(new_mp)
+        return state._replace(params=params, map_opt_state=new_opt)
+
+    def _apply_uncert_update(self, state: MapperState):
+        if not self.spec.uncert_grid:
+            return state
+        updates, new_opt = self.uncert_tx.update(
+            state.uncert_accum, state.uncert_opt_state,
+            state.params["uncert_grid"])
+        params = dict(state.params)
+        params["uncert_grid"] = optax.apply_updates(
+            params["uncert_grid"], updates)
+        return state._replace(
+            params=params, uncert_opt_state=new_opt,
+            uncert_accum=jnp.zeros_like(state.uncert_accum))
+
+    def _accum_uncert(self, state: MapperState, grads):
+        if not self.spec.uncert_grid:
+            return state
+        return state._replace(
+            uncert_accum=state.uncert_accum + grads["uncert_grid"])
+
+    # -------------------------------------------------- first-frame mapping
+    def _first_frame_impl(self, state: MapperState, frame_rays, c2w,
+                          key) -> MapperState:
+        n_sample = self.cfg.mapper.sample
+        state = state._replace(poses=state.poses.at[0].set(c2w))
+
+        def body(st, k):
+            k1, k2, k3 = jax.random.split(k, 3)
+            idx = jax.random.randint(k1, (n_sample,), 0, self.H * self.W)
+            rays = frame_rays[idx]
+            pose = jnp.broadcast_to(c2w, (n_sample, 4, 4))
+            rays_o, rays_d, rgb, d = _transform_rays(rays, pose)
+            mask = jnp.ones((n_sample,), dtype=jnp.float32)
+            (_, _), grads = jax.value_and_grad(
+                self._loss_fn, has_aux=True)(
+                    st.params, k2, rays_o, rays_d, rgb, d, mask, False)
+            st = self._apply_map_update(st, grads)
+            st = self._accum_uncert(st, grads)
+            return st, None
+
+        keys = jax.random.split(key, self.cfg.mapper.first_iters)
+        state, _ = jax.lax.scan(body, state, keys)
+        state = self._apply_uncert_update(state)
+        return state
+
+    # ------------------------------------------------------------ global BA
+    def _ba_impl(self, cur_cap: int, state: MapperState, frame_rays,
+                 c2w, frame_id, key) -> MapperState:
+        m = self.cfg.mapper
+        active = m.active_ray
+        n_os = m.sample * (m.act_ray_oversample_mul if active else 1)
+        base = m.sample
+        k_sel = m.act_ray_num_uncert_sample
+        min_cur = m.min_pixels_cur * (m.act_ray_oversample_mul if active else 1)
+        kf_every = m.keyframe_every
+
+        state = state._replace(poses=state.poses.at[frame_id].set(c2w))
+
+        # valid current pixels, ordered valid-first (static shape)
+        depth = frame_rays[:, 6]
+        valid = (depth > 0.0) & (depth <= self.lw.depth_trunc)
+        n_valid = jnp.maximum(jnp.sum(valid.astype(jnp.int32)), 1)
+        valid_order = jnp.argsort(jnp.logical_not(valid), stable=True)
+
+        num_cur = jnp.clip(
+            jnp.maximum(n_os // jnp.maximum(state.kf.count, 1), min_cur),
+            0, cur_cap)
+        num_cur = jnp.minimum(num_cur, n_valid)
+
+        bound = jnp.asarray(self.spec.bound_np)
+        inv_vox = 1.0 / m.voxel_size
+        vol_max = jnp.asarray(
+            [s - 1 for s in self.vol_shape], dtype=jnp.int32)
+
+        def body(st, k):
+            ks = jax.random.split(k, 5)
+            g_rays, g_slots = sample_global_rays(st.kf, ks[0], n_os)
+            g_poses = st.poses[g_slots * kf_every]
+            g_o, g_d, g_rgb, g_depth = _transform_rays(g_rays, g_poses)
+
+            j = jax.random.randint(ks[1], (cur_cap,), 0, n_valid)
+            c_rays = frame_rays[valid_order[j]]
+            c_pose = jnp.broadcast_to(c2w, (cur_cap, 4, 4))
+            c_o, c_d, c_rgb, c_depth = _transform_rays(c_rays, c_pose)
+            c_mask = (jnp.arange(cur_cap) < num_cur).astype(jnp.float32)
+
+            if active:
+                keep_cap = cur_cap // 4
+                cand_cap = cur_cap - keep_cap
+                num_keep = num_cur // 4
+                num_cand = num_cur - num_keep
+                # candidate pool: oversampled global tail + 3/4 of current
+                cand_o = jnp.concatenate([g_o[base:], c_o[:cand_cap]])
+                cand_d = jnp.concatenate([g_d[base:], c_d[:cand_cap]])
+                cand_rgb = jnp.concatenate([g_rgb[base:], c_rgb[:cand_cap]])
+                cand_dep = jnp.concatenate([g_depth[base:], c_depth[:cand_cap]])
+                cand_valid = jnp.concatenate([
+                    jnp.ones((n_os - base,), dtype=bool),
+                    jnp.arange(cand_cap) < num_cand])
+                pts = cand_o + cand_d * cand_dep
+                vi = jnp.clip(
+                    jnp.round((pts - bound[:, 0]) * inv_vox).astype(jnp.int32),
+                    0, vol_max)
+                u = st.uncert_vol[vi[:, 0], vi[:, 1], vi[:, 2]]
+                score = -u if m.active_select_highest else u
+                score = jnp.where(cand_valid, score, jnp.inf)
+                _, sel = jax.lax.top_k(-score, k_sel)
+                rays_o = jnp.concatenate(
+                    [cand_o[sel], g_o[:base - k_sel], c_o[cand_cap:]])
+                rays_d = jnp.concatenate(
+                    [cand_d[sel], g_d[:base - k_sel], c_d[cand_cap:]])
+                t_rgb = jnp.concatenate(
+                    [cand_rgb[sel], g_rgb[:base - k_sel], c_rgb[cand_cap:]])
+                t_d = jnp.concatenate(
+                    [cand_dep[sel], g_depth[:base - k_sel],
+                     c_depth[cand_cap:]])
+                mask = jnp.concatenate([
+                    jnp.ones((base,), dtype=jnp.float32),
+                    (jnp.arange(keep_cap) < num_keep).astype(jnp.float32)])
+            else:
+                rays_o = jnp.concatenate([g_o, c_o])
+                rays_d = jnp.concatenate([g_d, c_d])
+                t_rgb = jnp.concatenate([g_rgb, c_rgb])
+                t_d = jnp.concatenate([g_depth, c_depth])
+                mask = jnp.concatenate(
+                    [jnp.ones((n_os,), dtype=jnp.float32), c_mask])
+
+            (_, _), grads = jax.value_and_grad(
+                self._loss_fn, has_aux=True)(
+                    st.params, ks[2], rays_o, rays_d, t_rgb, t_d, mask, True)
+            st = self._apply_map_update(st, grads)
+            st = self._accum_uncert(st, grads)
+            return st, None
+
+        def outer(st, inputs):
+            it, k = inputs
+            st, _ = body(st, k)
+            if self.spec.uncert_grid:
+                st = jax.lax.cond(
+                    (it + 1) % m.uncert_accum_iters == 0,
+                    self._apply_uncert_update, lambda s: s, st)
+            return st, None
+
+        iters = m.iters
+        keys = jax.random.split(key, iters)
+        state, _ = jax.lax.scan(
+            outer, state, (jnp.arange(iters, dtype=jnp.int32), keys))
+        return state
+
+    def _get_ba_jit(self, cur_cap: int):
+        if cur_cap not in self._ba_jits:
+            self._ba_jits[cur_cap] = jax.jit(
+                functools.partial(self._ba_impl, cur_cap),
+                donate_argnums=(0,))
+        return self._ba_jits[cur_cap]
+
+    def _pick_bucket(self, kf_count: int) -> int:
+        m = self.cfg.mapper
+        active = m.active_ray
+        n_os = m.sample * (m.act_ray_oversample_mul if active else 1)
+        min_cur = m.min_pixels_cur * (m.act_ray_oversample_mul if active else 1)
+        need = max(n_os // max(kf_count, 1), min_cur)
+        for b in CUR_BUCKETS:
+            if b >= need:
+                return b
+        return CUR_BUCKETS[-1]
+
+    # --------------------------------------------------------- map volumes
+    def _volumes_impl(self, params):
+        sdf, uncert = query_sdf(params, self.grid01, self.spec,
+                                with_uncert=True)
+        uncert_map = jax.nn.softplus(uncert) + 0.01
+        on_surface = (sdf >= 0.0) & (sdf < 0.5)
+        uncert_map = jnp.where(on_surface, uncert_map, 0.0)
+        return (uncert_map.reshape(self.vol_shape),
+                sdf.reshape(self.vol_shape))
+
+    def get_map_volumes(self) -> Tuple[np.ndarray, np.ndarray]:
+        u, s = self._vol_jit(self.state.params)
+        self.state = self.state._replace(uncert_vol=u)
+        return np.asarray(u), np.asarray(s)
+
+    # ------------------------------------------------------------ online API
+    def online_recon_step(self, i: int, color, depth, c2w):
+        """One mapping step. Returns [uncert_vol, sdf_vol] (numpy) on mapping
+        steps, else None — same contract as coslam.py:537-633."""
+        m = self.cfg.mapper
+        c2w = jnp.asarray(c2w, dtype=jnp.float32)
+        frame_rays = self.frame_to_rays(color, depth)
+        vols = None
+
+        if i == 0:
+            self.printer("First frame mapping...", i, "Mapper")
+            self.state = self._ff_jit(self.state, frame_rays, c2w,
+                                      self._next_key())
+            self.state = self.state._replace(
+                kf=add_keyframe(self.state.kf, frame_rays, 0,
+                                self._next_key(),
+                                depth_trunc=self.lw.depth_trunc,
+                                filter_depth=m.filter_depth))
+            vols = self.get_map_volumes()
+        else:
+            # tracking disabled: pose comes from the planner/GT (ref :595)
+            self.state = self.state._replace(
+                poses=self.state.poses.at[i].set(c2w))
+            if i % m.map_every == 0:
+                kf_count = int(self.state.kf.count)
+                bucket = self._pick_bucket(kf_count)
+                self.printer(f"Global BA (bucket={bucket})", i, "Mapper")
+                self.state = self._get_ba_jit(bucket)(
+                    self.state, frame_rays, c2w, i, self._next_key())
+                vols = self.get_map_volumes()
+            if i % m.keyframe_every == 0:
+                self.state = self.state._replace(
+                    kf=add_keyframe(self.state.kf, frame_rays, i,
+                                    self._next_key(),
+                                    depth_trunc=self.lw.depth_trunc,
+                                    filter_depth=m.filter_depth))
+        return list(vols) if vols is not None else None
+
+    # ----------------------------------------------------------- query API
+    def predict_sdf(self, pts_world: np.ndarray,
+                    chunk: int = 1 << 17) -> np.ndarray:
+        """SDF at world points [N,3] (MAD eval contract, eval_mad.py:87-90)."""
+        bound = self.spec.bound_np
+        x01 = (np.asarray(pts_world, dtype=np.float32) - bound[:, 0]) \
+            / (bound[:, 1] - bound[:, 0])
+        outs = []
+        for s in range(0, x01.shape[0], chunk):
+            sdf, _ = self._sdf_query_jit(self.state.params,
+                                         jnp.asarray(x01[s:s + chunk]))
+            outs.append(np.asarray(sdf))
+        return np.concatenate(outs) if outs else np.zeros((0,))
+
+    # ----------------------------------------------------------- checkpoint
+    def save_ckpt(self, path: str) -> None:
+        """Poses + field params + optimizer-free state (ref save_ckpt
+        coslam.py:494-517 stores {pose, pose_rel, model})."""
+        import pickle
+        state_np = jax.tree_util.tree_map(np.asarray, {
+            "params": self.state.params,
+            "poses": self.state.poses,
+            "step": self.step,
+        })
+        import os
+        os.makedirs(os.path.dirname(os.path.abspath(path)), exist_ok=True)
+        with open(path, "wb") as f:
+            pickle.dump(state_np, f)
+
+    def load_ckpt(self, path: str) -> None:
+        import pickle
+        with open(path, "rb") as f:
+            blob = pickle.load(f)
+        params = jax.tree_util.tree_map(jnp.asarray, blob["params"])
+        poses = jnp.asarray(blob["poses"])
+        self.state = self.state._replace(params=params, poses=poses)
+        self.step = int(blob.get("step", 0))

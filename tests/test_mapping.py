@@ -1,0 +1,254 @@
+"""Mapping tests: field, renderer, losses, keyframes, mapper end-to-end on a
+tiny synthetic scene (flat wall at z=1 in front of the camera)."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from naruto_tpu.config import make_config
+from naruto_tpu.config.schema import deep_update
+from naruto_tpu.mapping.field import (
+    FieldSpec, field_query, init_field_params, query_sdf, normalize_world,
+)
+from naruto_tpu.mapping.keyframes import (
+    add_keyframe, init_keyframe_db, sample_global_rays,
+)
+from naruto_tpu.mapping.losses import LossWeights, sdf_losses, total_loss
+from naruto_tpu.mapping.mapper import Mapper
+from naruto_tpu.mapping.render import RenderConfig, sample_z_vals, sdf2weights
+
+
+BOUND = ((-2.0, 2.0), (-2.0, 2.0), (-2.0, 2.0))
+
+
+def tiny_spec(**kw):
+    d = dict(bound=BOUND, n_levels=4, log2_hashmap_size=12,
+             base_resolution=8, voxel_sdf=0.1, uncert_voxel_size=0.5)
+    d.update(kw)
+    return FieldSpec(**d)
+
+
+def tiny_cfg(**mapper_over):
+    cfg = make_config("Replica", "office0", num_iter=40)
+    over = {
+        "cam": {"H": 24, "W": 32, "fx": 20.0, "fy": 20.0, "cx": 15.5,
+                "cy": 11.5, "far": 5.0},
+        "grid": {"n_levels": 4, "hash_size": 12, "voxel_sdf": 0.1},
+        "mapper": {"sample": 64, "iters": 3, "first_iters": 5,
+                   "min_pixels_cur": 4, "act_ray_num_uncert_sample": 8,
+                   "bound": BOUND, "marching_cubes_bound": BOUND,
+                   "voxel_size": 0.5, **mapper_over},
+        "training": {"n_samples_d": 8, "n_range_d": 5, "smooth_pts": 4},
+    }
+    return deep_update(cfg, over)
+
+
+class TestField:
+    def test_shapes(self):
+        spec = tiny_spec()
+        params = init_field_params(jax.random.PRNGKey(0), spec)
+        x = jax.random.uniform(jax.random.PRNGKey(1), (32, 3))
+        raw = field_query(params, x, spec)
+        assert raw.shape == (32, 5)
+
+    def test_uncert_init_value(self):
+        spec = tiny_spec()
+        params = init_field_params(jax.random.PRNGKey(0), spec)
+        assert params["uncert_grid"].shape == spec.uncert_shape
+        np.testing.assert_allclose(np.asarray(params["uncert_grid"]), 3.0)
+        # interior query returns ~3.0 through the sampler
+        x = jnp.array([[0.5, 0.5, 0.5]])
+        raw = field_query(params, x, spec)
+        np.testing.assert_allclose(float(raw[0, 4]), 3.0, atol=1e-5)
+
+    def test_query_sdf_uncert(self):
+        spec = tiny_spec()
+        params = init_field_params(jax.random.PRNGKey(0), spec)
+        x = jax.random.uniform(jax.random.PRNGKey(1), (8, 3))
+        sdf, u = query_sdf(params, x, spec, with_uncert=True)
+        assert sdf.shape == (8,) and u.shape == (8,)
+
+    def test_normalize_world(self):
+        spec = tiny_spec()
+        pts = jnp.array([[0.0, 0.0, 0.0], [-2.0, -2.0, -2.0]])
+        x01 = normalize_world(pts, spec)
+        np.testing.assert_allclose(np.asarray(x01),
+                                   [[0.5, 0.5, 0.5], [0, 0, 0]], atol=1e-6)
+
+
+class TestRender:
+    def test_z_sampling_shape_and_depth_guidance(self):
+        rc = RenderConfig(n_range_d=5, n_samples_d=8, perturb=0.0)
+        d = jnp.array([[2.0], [0.0]])
+        z = sample_z_vals(jax.random.PRNGKey(0), d, rc)
+        assert z.shape == (2, 13)
+        # depth-guided ray has samples within +-0.1 of depth 2.0
+        assert np.any(np.abs(np.asarray(z[0]) - 2.0) < 0.11)
+        # invalid-depth ray falls back to near..far
+        assert np.asarray(z[1]).max() <= rc.far + 1e-6
+        # sorted
+        assert np.all(np.diff(np.asarray(z), axis=-1) >= 0)
+
+    def test_sdf2weights_peak_at_surface(self):
+        rc = RenderConfig(trunc=0.1)
+        z = jnp.linspace(0.0, 2.0, 40)[None, :]  # grid avoids sdf==0 exactly
+        sdf = (1.0 - z) / rc.trunc  # surface at z=1, sdf in trunc units
+        w = sdf2weights(sdf, z, rc)
+        w = np.asarray(w)[0]
+        np.testing.assert_allclose(w.sum(), 1.0, atol=1e-5)
+        assert abs(float(z[0, w.argmax()]) - 1.0) < 0.06
+
+    def test_sdf2weights_first_surface_only(self):
+        rc = RenderConfig(trunc=0.1)
+        z = jnp.linspace(0.0, 3.0, 61)[None, :]
+        # two surfaces: z=1 and z=2; weights beyond first crossing + trunc = 0
+        sdf = jnp.minimum(1.0 - z, jnp.abs(z - 2.0) + 0.01) / rc.trunc
+        w = np.asarray(sdf2weights(sdf, z, rc))[0]
+        beyond = np.asarray(z)[0] > 1.0 + rc.trunc
+        assert w[beyond].max() == 0.0
+
+
+class TestLosses:
+    def test_sdf_losses_zero_for_perfect_field(self):
+        lw = LossWeights()
+        n, s = 4, 16
+        z = jnp.broadcast_to(jnp.linspace(0.5, 1.5, s), (n, s))
+        d = jnp.full((n, 1), 1.0)
+        perfect_sdf = (d - z) / lw.trunc  # z + sdf*trunc == d exactly
+        mask = jnp.ones((n,))
+        fs, sd = sdf_losses(perfect_sdf, z, d, mask, lw)
+        assert float(sd) < 1e-10
+        # free-space region here is z < 0.9: sdf=(1-z)/0.1 > 1 there -> fs>0
+        assert float(fs) >= 0
+
+    def test_padding_invariance(self):
+        """Losses must be identical with and without padded rays."""
+        spec = tiny_spec()
+        params = init_field_params(jax.random.PRNGKey(0), spec)
+        rc = RenderConfig(n_range_d=5, n_samples_d=8, perturb=0.0)
+        lw = LossWeights(smooth=0.0)
+        from naruto_tpu.mapping.render import render_rays
+
+        key = jax.random.PRNGKey(7)
+        n = 8
+        rays_o = jnp.zeros((n, 3))
+        rays_d = jnp.concatenate(
+            [jnp.zeros((n, 2)), jnp.ones((n, 1))], axis=-1)
+        d = jnp.full((n, 1), 1.0)
+        rgb = jnp.full((n, 3), 0.5)
+
+        rend = render_rays(params, spec, rc, key, rays_o, rays_d, d)
+        l1, _ = total_loss(params, spec, rend, rgb, d, jnp.ones((n,)),
+                           key, lw, with_smooth=False)
+
+        # pad with garbage rays, mask them out
+        pad = 8
+        rays_o_p = jnp.concatenate([rays_o, jnp.ones((pad, 3)) * 9])
+        rays_d_p = jnp.concatenate([rays_d, jnp.ones((pad, 3))])
+        d_p = jnp.concatenate([d, jnp.full((pad, 1), 3.0)])
+        rgb_p = jnp.concatenate([rgb, jnp.zeros((pad, 3))])
+        mask_p = jnp.concatenate([jnp.ones((n,)), jnp.zeros((pad,))])
+        rend_p = render_rays(params, spec, rc, key, rays_o_p, rays_d_p, d_p)
+        l2, _ = total_loss(params, spec, rend_p, rgb_p, d_p, mask_p,
+                           key, lw, with_smooth=False)
+        np.testing.assert_allclose(float(l1), float(l2), rtol=2e-5)
+
+
+class TestKeyframes:
+    def test_add_and_sample(self):
+        db = init_keyframe_db(4, 16)
+        rays = jnp.concatenate([
+            jnp.ones((100, 6)),
+            jnp.linspace(0.1, 2.0, 100)[:, None]], axis=-1)
+        db = add_keyframe(db, rays, 0, jax.random.PRNGKey(0))
+        assert int(db.count) == 1
+        assert int(db.frame_ids[0]) == 0
+        s, ids = sample_global_rays(db, jax.random.PRNGKey(1), 32)
+        assert s.shape == (32, 7)
+        assert np.all(np.asarray(ids) == 0)
+
+    def test_depth_filter(self):
+        db = init_keyframe_db(2, 8)
+        depth = jnp.concatenate([jnp.zeros(50), jnp.full((50,), 1.5)])
+        rays = jnp.concatenate([jnp.ones((100, 6)), depth[:, None]], axis=-1)
+        db = add_keyframe(db, rays, 0, jax.random.PRNGKey(0))
+        stored = np.asarray(db.rays[0])
+        assert np.all(stored[:, 6] > 0)  # only valid-depth rays stored
+
+    def test_duplication_when_few_valid(self):
+        db = init_keyframe_db(2, 8)
+        depth = jnp.concatenate([jnp.full((3,), 2.0), jnp.zeros(97)])
+        rays = jnp.concatenate(
+            [jnp.arange(100, dtype=jnp.float32)[:, None].repeat(6, 1),
+             depth[:, None]], axis=-1)
+        db = add_keyframe(db, rays, 0, jax.random.PRNGKey(0))
+        stored = np.asarray(db.rays[0])
+        assert np.all(stored[:, 6] > 0)  # recycled valid rays, no invalid
+
+
+def _render_wall_frame(cfg):
+    """Synthetic RGB-D frame: camera at origin looking down +z (RDF),
+    flat wall at z=1.5 with a horizontal color gradient."""
+    from naruto_tpu.geometry.rays import get_camera_rays
+    H, W = cfg.cam.H, cfg.cam.W
+    dirs = get_camera_rays(H, W, cfg.cam.fx, cfg.cam.fy, cfg.cam.cx,
+                           cfg.cam.cy)
+    depth = 1.5 / dirs[..., 2]  # z-depth of the z=1.5 plane is constant 1.5
+    depth = np.full((H, W), 1.5, dtype=np.float32)
+    u = np.linspace(0, 1, W, dtype=np.float32)
+    color = np.stack([np.tile(u, (H, 1)),
+                      np.full((H, W), 0.3, np.float32),
+                      np.full((H, W), 0.6, np.float32)], axis=-1)
+    return color, depth
+
+
+class TestMapperEndToEnd:
+    @pytest.fixture(scope="class")
+    def run(self):
+        cfg = tiny_cfg()
+        mapper = Mapper(cfg)
+        color, depth = _render_wall_frame(cfg)
+        c2w = np.eye(4, dtype=np.float32)
+        vols_by_step = {}
+        for i in range(11):
+            mapper.update_step(i)
+            out = mapper.online_recon_step(i, color, depth, c2w)
+            if out is not None:
+                vols_by_step[i] = out
+        return cfg, mapper, vols_by_step
+
+    def test_volume_cadence(self, run):
+        _, _, vols = run
+        assert set(vols.keys()) == {0, 5, 10}  # step 0 + every map_every
+
+    def test_volume_shapes(self, run):
+        cfg, mapper, vols = run
+        u, s = vols[10]
+        assert u.shape == s.shape == mapper.vol_shape
+        assert np.all(u >= 0)
+
+    def test_keyframes_accrue(self, run):
+        _, mapper, _ = run
+        assert int(mapper.state.kf.count) == 3  # frames 0, 5, 10
+
+    def test_field_learns_wall(self, run):
+        """After a few mapping rounds the SDF should be positive well in
+        front of the wall and lower near it."""
+        cfg, mapper, _ = run
+        near_cam = mapper.predict_sdf(np.array([[0.0, 0.0, 0.3]]))
+        at_wall = mapper.predict_sdf(np.array([[0.0, 0.0, 1.5]]))
+        assert near_cam[0] > at_wall[0]
+
+    def test_poses_recorded(self, run):
+        _, mapper, _ = run
+        np.testing.assert_allclose(np.asarray(mapper.state.poses[7]),
+                                   np.eye(4), atol=1e-6)
+
+    def test_ckpt_roundtrip(self, run, tmp_path):
+        _, mapper, _ = run
+        p = str(tmp_path / "ckpt.pkl")
+        mapper.save_ckpt(p)
+        before = mapper.predict_sdf(np.array([[0.1, 0.2, 0.5]]))
+        mapper.load_ckpt(p)
+        after = mapper.predict_sdf(np.array([[0.1, 0.2, 0.5]]))
+        np.testing.assert_allclose(before, after)
