@@ -1,0 +1,100 @@
+"""Benchmark: steady-state mapping-iteration throughput on real hardware.
+
+Measures the reference's hot loop (SURVEY.md §3.2 / BASELINE.md): one global-
+BA mapping step = `mapping.iters`(10) iterations of {sample 8192+cur rays from
+the keyframe DB, active-ray resample to 2048+~100, render 43 samples/ray
+through the hash-grid field, all losses, backward, Adam} at full Replica
+office0 settings (680x1200 frames, 16-level hash grid, uncertainty grid).
+
+Baseline: the reference publishes no numbers (BASELINE.md); the RTX-3090
+reference workload is estimated at ~100 mapping iters/sec (10 ms per
+iteration of ~2148 rays x 43 samples fwd+bwd through tcnn — consistent with
+Co-SLAM's reported real-time rates at identical settings). vs_baseline is
+measured iters/sec divided by that estimate; the >=5x target means
+vs_baseline >= 5.
+"""
+from __future__ import annotations
+
+import json
+import time
+
+import numpy as np
+
+BASELINE_ITERS_PER_SEC = 100.0  # RTX 3090 estimate (see module docstring)
+
+
+def main() -> None:
+    import jax
+    import jax.numpy as jnp
+
+    from naruto_tpu.config import make_config
+    from naruto_tpu.config.schema import deep_update
+    from naruto_tpu.geometry.rays import get_camera_rays
+    from naruto_tpu.mapping.mapper import Mapper
+
+    cfg = make_config("Replica", "office0")
+    mapper = Mapper(cfg)
+    H, W = mapper.H, mapper.W
+
+    # synthetic wall frame at full sensor resolution
+    depth = np.full((H, W), 1.5, dtype=np.float32)
+    u = np.linspace(0, 1, W, dtype=np.float32)
+    color = np.stack([np.tile(u, (H, 1)),
+                      np.full((H, W), 0.3, np.float32),
+                      np.full((H, W), 0.6, np.float32)], axis=-1)
+    c2w = np.eye(4, dtype=np.float32)
+
+    # populate the keyframe DB to steady state (>20 KFs -> smallest bucket)
+    from naruto_tpu.mapping.keyframes import add_keyframe
+    frame_rays = mapper.frame_to_rays(color, depth)
+    key = jax.random.PRNGKey(0)
+    for s in range(22):
+        key, k = jax.random.split(key)
+        mapper.state = mapper.state._replace(
+            kf=add_keyframe(mapper.state.kf, frame_rays,
+                            s * cfg.mapper.keyframe_every, k))
+    jax.block_until_ready(mapper.state.kf.rays)
+
+    bucket = mapper._pick_bucket(int(mapper.state.kf.count))
+    ba = mapper._get_ba_jit(bucket)
+
+    # warmup (compile)
+    t0 = time.perf_counter()
+    mapper.state = ba(mapper.state, frame_rays, jnp.asarray(c2w), 110,
+                      jax.random.PRNGKey(1))
+    jax.block_until_ready(mapper.state.params["table"])
+    compile_s = time.perf_counter() - t0
+
+    # timed steps
+    n_steps = 20
+    t0 = time.perf_counter()
+    for i in range(n_steps):
+        mapper.state = ba(mapper.state, frame_rays, jnp.asarray(c2w),
+                          110 + i, jax.random.PRNGKey(2 + i))
+    jax.block_until_ready(mapper.state.params["table"])
+    elapsed = time.perf_counter() - t0
+
+    iters = n_steps * cfg.mapper.iters
+    iters_per_sec = iters / elapsed
+    rays_per_iter = cfg.mapper.sample + bucket // 4
+    rays_per_sec = iters_per_sec * rays_per_iter
+
+    result = {
+        "metric": "mapping_iters_per_sec",
+        "value": round(iters_per_sec, 2),
+        "unit": "iters/s",
+        "vs_baseline": round(iters_per_sec / BASELINE_ITERS_PER_SEC, 3),
+        "extra": {
+            "rays_per_sec": round(rays_per_sec, 1),
+            "rays_per_iter": rays_per_iter,
+            "samples_per_ray": mapper.rc.n_samples,
+            "bucket": bucket,
+            "compile_s": round(compile_s, 1),
+            "device": str(jax.devices()[0]),
+        },
+    }
+    print(json.dumps(result))
+
+
+if __name__ == "__main__":
+    main()
