@@ -1,0 +1,129 @@
+"""Uncertainty aggregation over the goal space — jitted TPU kernel.
+
+Behavioral contract from src/planner/naruto_planner.py:596-735
+(uncertainty_aggregation_v2):
+  * target candidates = a random subset (uncert_top_k_subset=300) of the
+    top-k (4000) most uncertain voxels of the (traversability-filtered)
+    uncertainty volume. (The reference's np.argpartition(...)[-subset:]
+    yields an arbitrary 300 of the top-4000; we draw them uniformly.)
+  * a (goal, target) pair is valid iff: distance within the sensing range
+    [0.5m, 2m] (in voxels); the goal is "safe" (not at the volume border and
+    all 6 axis neighbors have SDF >= safe_sdf); and the target is visible
+    from the goal (all 30 points of the ray march goal->target, truncated to
+    integer voxel indices, have SDF > 0).
+  * a goal's aggregated score = sum of the uncertainties of its valid
+    targets; per-pair contributions are also returned for look-at selection.
+
+Everything is dense tensor math over [G, K(, 30)] — a natural TPU kernel;
+the reference runs the same math as torch CUDA ops with dynamic masking.
+"""
+from __future__ import annotations
+
+from typing import NamedTuple, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+class GoalSpace(NamedTuple):
+    x_range: np.ndarray  # [Gx] voxel levels
+    y_range: np.ndarray
+    z_range: np.ndarray
+    points: np.ndarray   # [G, 3] voxel coords (float)
+
+    @property
+    def shape(self) -> Tuple[int, int, int]:
+        return (len(self.x_range), len(self.y_range), len(self.z_range))
+
+
+def make_goal_space(vol_shape, voxel_size: float,
+                    gs_z_levels=None) -> GoalSpace:
+    """Every 2nd voxel in X,Y; configurable Z levels (default one per meter
+    starting at 1m — ref naruto_planner.py:123-137 with the shipped
+    gs_z_levels=None)."""
+    X, Y, Z = vol_shape
+    xr = np.arange(0, X, 2)
+    yr = np.arange(0, Y, 2)
+    if gs_z_levels is None:
+        step = max(int(1.0 / voxel_size), 1)
+        zr = np.arange(step, Z, step)
+        if len(zr) == 0:
+            zr = np.array([Z // 2])
+    else:
+        zr = np.asarray(gs_z_levels)
+    gx, gy, gz = np.meshgrid(xr, yr, zr, indexing="ij")
+    pts = np.stack([gx, gy, gz], axis=-1).reshape(-1, 3).astype(np.float32)
+    return GoalSpace(xr, yr, zr, pts)
+
+
+class AggregationOutputs(NamedTuple):
+    gs_aggre: jnp.ndarray          # [Gx, Gy, Gz]
+    topk_vxl: jnp.ndarray          # [K, 3] int32
+    collections: jnp.ndarray       # [G, K]
+    any_valid: jnp.ndarray         # [] bool
+
+
+def make_aggregator(vol_shape, gs: GoalSpace, voxel_size: float,
+                    top_k: int = 4000, subset: int = 300,
+                    sensing_range=(0.5, 2.0), safe_sdf: float = 0.8,
+                    n_vis_pts: int = 30):
+    """Build the jitted aggregation fn for a fixed volume/goal-space shape."""
+    X, Y, Z = vol_shape
+    goal_pts = jnp.asarray(gs.points)                       # [G, 3]
+    G = goal_pts.shape[0]
+    k_eff = min(top_k, X * Y * Z)
+    subset_eff = min(subset, k_eff)
+    min_d = sensing_range[0] / voxel_size
+    max_d = sensing_range[1] / voxel_size
+
+    gxi = goal_pts.astype(jnp.int32)
+    border = ((gxi[:, 0] < 1) | (gxi[:, 0] + 1 >= X)
+              | (gxi[:, 1] < 1) | (gxi[:, 1] + 1 >= Y)
+              | (gxi[:, 2] < 1) | (gxi[:, 2] + 1 >= Z))
+
+    neighbor_offsets = jnp.asarray(
+        [[0, 0, 0], [1, 0, 0], [-1, 0, 0], [0, 1, 0], [0, -1, 0],
+         [0, 0, 1], [0, 0, -1]], dtype=jnp.int32)
+    t_vals = jnp.linspace(0.0, 1.0, n_vis_pts)
+
+    @jax.jit
+    def aggregate(uncert: jnp.ndarray, sdf: jnp.ndarray,
+                  key) -> AggregationOutputs:
+        flat = uncert.reshape(-1)
+        _, top_idx = jax.lax.top_k(flat, k_eff)
+        sel = jax.random.choice(key, k_eff, (subset_eff,), replace=False)
+        chosen = top_idx[sel]
+        tx = chosen // (Y * Z)
+        ty = (chosen // Z) % Y
+        tz = chosen % Z
+        tvox = jnp.stack([tx, ty, tz], axis=-1)             # [K, 3] int
+        tvox_f = tvox.astype(jnp.float32)
+
+        view = goal_pts[:, None, :] - tvox_f[None, :, :]    # [G, K, 3]
+        dist = jnp.linalg.norm(view, axis=-1)
+        dist_ok = (dist > min_d) & (dist < max_d)
+
+        # goal safety: border or any 6-neighborhood SDF below safe_sdf
+        nb = jnp.clip(gxi[:, None, :] + neighbor_offsets[None, :, :],
+                      0, jnp.asarray([X - 1, Y - 1, Z - 1]))
+        nb_sdf = sdf[nb[..., 0], nb[..., 1], nb[..., 2]]    # [G, 7]
+        unsafe = border | jnp.any(nb_sdf < safe_sdf, axis=-1)
+
+        # visibility: march goal -> target, all SDF > 0
+        vis = goal_pts[:, None, None, :] \
+            - t_vals[None, None, :, None] * view[:, :, None, :]  # [G,K,T,3]
+        vi = jnp.clip(vis.astype(jnp.int32), 0,
+                      jnp.asarray([X - 1, Y - 1, Z - 1]))
+        vis_sdf = sdf[vi[..., 0], vi[..., 1], vi[..., 2]]   # [G, K, T]
+        visible = jnp.min(vis_sdf, axis=-1) > 0.0
+
+        valid = dist_ok & (~unsafe[:, None]) & visible      # [G, K]
+        u_k = uncert[tvox[:, 0], tvox[:, 1], tvox[:, 2]]    # [K]
+        collections = jnp.where(valid, u_k[None, :], 0.0)
+        aggre = jnp.sum(collections, axis=-1).reshape(gs.shape)
+        return AggregationOutputs(
+            gs_aggre=aggre, topk_vxl=tvox.astype(jnp.int32),
+            collections=collections, any_valid=jnp.any(valid))
+
+    return aggregate

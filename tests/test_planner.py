@@ -1,0 +1,218 @@
+"""Planner tests on hand-built SDF volumes (box room with known free space)."""
+import jax
+import numpy as np
+import pytest
+
+from naruto_tpu.config import make_config
+from naruto_tpu.config.schema import deep_update
+from naruto_tpu.planner import init_planner
+from naruto_tpu.planner.aggregation import make_aggregator, make_goal_space
+from naruto_tpu.planner.collision import (
+    is_collision_free, query_sdf_np, trilinear_interpolation_np,
+)
+from naruto_tpu.planner.rotation import rotation_planning
+from naruto_tpu.planner.rrt import RRTPlanner
+
+
+def box_room_sdf(shape=(30, 30, 20), wall=3):
+    """SDF (voxel units): distance to nearest wall; interior positive."""
+    X, Y, Z = shape
+    x, y, z = np.meshgrid(np.arange(X), np.arange(Y), np.arange(Z),
+                          indexing="ij")
+    d = np.minimum.reduce([
+        x - wall, X - 1 - wall - x,
+        y - wall, Y - 1 - wall - y,
+        z - wall, Z - 1 - wall - z]).astype(np.float32)
+    return d
+
+
+class TestCollision:
+    def test_interp_matches_exact_at_vertices(self):
+        vol = np.random.default_rng(0).normal(size=(5, 5, 5)).astype(np.float32)
+        out = trilinear_interpolation_np(vol, np.array([[1.0, 2.0, 3.0]]))
+        np.testing.assert_allclose(out[0], vol[1, 2, 3], rtol=1e-6)
+
+    def test_free_line(self):
+        sdf = box_room_sdf()
+        n, free = is_collision_free(np.array([10.0, 10, 10]),
+                                    np.array([20.0, 20, 10]), sdf)
+        assert free and n >= 1
+
+    def test_blocked_line(self):
+        sdf = box_room_sdf()
+        n, free = is_collision_free(np.array([15.0, 15, 10]),
+                                    np.array([0.0, 15, 10]), sdf)
+        assert not free
+
+    def test_prefix_count_semantics(self):
+        sdf = box_room_sdf()
+        # heading toward a wall: some free steps before the block
+        n, free = is_collision_free(np.array([15.0, 15, 10]),
+                                    np.array([2.0, 15, 10]), sdf, step_size=1)
+        assert not free
+        assert 0 <= n < 13
+
+
+class TestRotation:
+    def test_step_cap(self):
+        R0 = np.eye(3)
+        from scipy.spatial.transform import Rotation
+        R1 = Rotation.from_euler("z", 45, degrees=True).as_matrix()
+        rots = rotation_planning(R0, [R1], max_rot_deg=10.0)
+        # consecutive rotations differ by <= ~11.25 deg (45/4 steps)
+        for a, b in zip(rots[:-1], rots[1:]):
+            ang = Rotation.from_matrix(a.T @ b).magnitude() * 180 / np.pi
+            assert ang <= 11.5
+        # endpoint included
+        np.testing.assert_allclose(rots[-1], R1, atol=1e-5)
+        # first element is the start rotation (consumed as a no-op)
+        np.testing.assert_allclose(rots[0], R0, atol=1e-6)
+
+    def test_greedy_ordering(self):
+        from scipy.spatial.transform import Rotation
+        R0 = np.eye(3)
+        near = Rotation.from_euler("z", 20, degrees=True).as_matrix()
+        far = Rotation.from_euler("z", 170, degrees=True).as_matrix()
+        rots = rotation_planning(R0, [far, near], max_rot_deg=30.0)
+        # near target must be visited before far
+        angs = [Rotation.from_matrix(r).magnitude() * 180 / np.pi
+                for r in rots]
+        i_near = int(np.argmin([abs(a - 20) for a in angs]))
+        i_far = int(np.argmin([abs(a - 170) for a in angs]))
+        assert i_near < i_far
+
+
+class TestRRT:
+    def test_reaches_goal_in_open_room(self):
+        sdf = box_room_sdf()
+        rrt = RRTPlanner(sdf.shape, step_size=1.0, step_amplifier=10,
+                         rng=np.random.default_rng(0))
+        rrt.start_new_plan(np.array([10.0, 10, 10]),
+                           np.array([20.0, 20, 12]), sdf)
+        assert rrt.run()
+        path = rrt.find_path()
+        assert len(path) >= 2
+        np.testing.assert_allclose(path[0], [20, 20, 12])  # goal first
+        np.testing.assert_allclose(path[-1], [10, 10, 10], atol=1.01)
+        # path segments are collision free
+        for a, b in zip(path[:-1], path[1:]):
+            _, free = is_collision_free(a, b, sdf)
+            assert free
+
+    def test_unreachable_goal(self):
+        sdf = box_room_sdf()
+        # goal inside the wall
+        rrt = RRTPlanner(sdf.shape, max_iter=200, step_size=1.0,
+                         rng=np.random.default_rng(0))
+        rrt.start_new_plan(np.array([15.0, 15, 10]),
+                           np.array([1.0, 1.0, 1.0]), sdf)
+        assert not rrt.run()
+
+    def test_reachable_mask(self):
+        sdf = box_room_sdf()
+        rrt = RRTPlanner(sdf.shape, step_size=1.0, step_amplifier=10,
+                         rng=np.random.default_rng(0))
+        rrt.start_new_plan(np.array([15.0, 15, 10]), np.zeros(3), sdf)
+        rrt.run_full()
+        mask = rrt.get_reachable_mask()
+        assert mask.shape == sdf.shape
+        assert mask[15, 15, 10] == 1.0     # start reachable
+        assert mask[1, 1, 1] == 0.0        # inside wall unreachable
+        # free interior should be mostly covered
+        interior = mask[6:24, 6:24, 6:14]
+        assert interior.mean() > 0.85
+
+
+class TestAggregation:
+    def test_goal_scores_point_at_uncertainty(self):
+        shape = (30, 30, 20)
+        sdf = box_room_sdf(shape)
+        uncert = np.zeros(shape, dtype=np.float32)
+        uncert[24, 24, 10] = 5.0  # one very uncertain surface-ish voxel
+        gs = make_goal_space(shape, 0.1, gs_z_levels=[8, 10, 12])
+        agg_fn = make_aggregator(shape, gs, 0.1, top_k=100, subset=100,
+                                 sensing_range=(0.5, 2.0), safe_sdf=0.8)
+        out = agg_fn(uncert, sdf, jax.random.PRNGKey(0))
+        assert bool(out.any_valid)
+        aggre = np.asarray(out.gs_aggre)
+        gi = np.unravel_index(aggre.argmax(), aggre.shape)
+        goal = np.array([gs.x_range[gi[0]], gs.y_range[gi[1]],
+                         gs.z_range[gi[2]]])
+        # best goal within sensing range (5..20 voxels) of the uncertain voxel
+        d = np.linalg.norm(goal - np.array([24, 24, 10]))
+        assert 5.0 < d < 20.0
+
+    def test_unsafe_goals_excluded(self):
+        shape = (30, 30, 20)
+        sdf = box_room_sdf(shape)
+        uncert = np.zeros(shape, dtype=np.float32)
+        uncert[4, 4, 10] = 5.0  # uncertainty right at the wall
+        gs = make_goal_space(shape, 0.1, gs_z_levels=[10])
+        agg_fn = make_aggregator(shape, gs, 0.1, top_k=50, subset=50,
+                                 sensing_range=(0.0, 2.0), safe_sdf=0.8)
+        out = agg_fn(uncert, sdf, jax.random.PRNGKey(0))
+        cols = np.asarray(out.collections).reshape(*out.gs_aggre.shape, -1)
+        # goals at border / near wall contribute nothing
+        aggre = np.asarray(out.gs_aggre)
+        assert aggre[0, 0, 0] == 0.0
+
+
+def _planner_cfg():
+    cfg = make_config("Replica", "office0", num_iter=100)
+    bound = ((-1.5, 1.4), (-1.5, 1.4), (-1.0, 0.9))  # 30x30x20 at 0.1
+    return deep_update(cfg, {
+        "mapper": {"bound": bound, "marching_cubes_bound": bound},
+        "planner": {"gs_z_levels": [8, 10, 12]},
+    })
+
+
+class TestPlannerFSM:
+    def test_full_planning_cycle(self):
+        cfg = _planner_cfg()
+        planner = init_planner(cfg)
+        planner.init_data(cfg.mapper.bound_np)
+        planner.init_local_planner()
+
+        shape = planner.vol_shape
+        assert shape == (30, 30, 20)
+        sdf = box_room_sdf(shape)
+        uncert = np.zeros(shape, dtype=np.float32)
+        uncert[22, 22, 10] = 4.0
+        uncert[20, 8, 10] = 3.0
+        vols = [uncert, sdf]
+
+        pose = np.eye(4, dtype=np.float32)
+        pose[:3, 3] = planner.vox2loc(np.array([15.0, 15, 10]))
+
+        states = []
+        for i in range(60):
+            planner.update_step(i)
+            pose = planner.main(vols, pose, is_new_vols=(i % 5 == 0))
+            states.append(planner.state)
+        # FSM progressed through the full cycle
+        assert "planning" in states
+        assert "movingToGoal" in states
+        assert "rotatingAtStart" in states
+        # agent actually moved
+        start = planner.vox2loc(np.array([15.0, 15, 10]))
+        assert np.linalg.norm(pose[:3, 3] - start) > 0.2
+        # pose stays inside the room's free space
+        vox = planner.loc2vox(pose[:3, 3])
+        assert query_sdf_np(sdf, vox[None])[0] > 0
+
+    def test_rotation_validity(self):
+        cfg = _planner_cfg()
+        planner = init_planner(cfg)
+        planner.init_data(cfg.mapper.bound_np)
+        planner.init_local_planner()
+        sdf = box_room_sdf(planner.vol_shape)
+        uncert = np.zeros(planner.vol_shape, dtype=np.float32)
+        uncert[22, 22, 10] = 4.0
+        pose = np.eye(4, dtype=np.float32)
+        pose[:3, 3] = planner.vox2loc(np.array([15.0, 15, 10]))
+        for i in range(30):
+            planner.update_step(i)
+            pose = planner.main([uncert, sdf], pose, is_new_vols=(i == 0))
+            R = pose[:3, :3]
+            np.testing.assert_allclose(R @ R.T, np.eye(3), atol=1e-4)
+            assert np.linalg.det(R) > 0.9
