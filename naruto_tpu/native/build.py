@@ -1,0 +1,47 @@
+"""Build the native C++ extensions with g++ (no pybind11 — plain C ABI via
+ctypes). Builds are cached next to the sources; call ensure_built() from the
+wrappers."""
+from __future__ import annotations
+
+import os
+import subprocess
+import sys
+from pathlib import Path
+
+NATIVE_DIR = Path(__file__).resolve().parent
+
+SOURCES = {
+    "marching_tets": ["marching_tets.cpp"],
+    "raycaster": ["raycaster.cpp"],
+}
+
+CXXFLAGS = ["-O3", "-march=native", "-std=c++17", "-fPIC", "-shared",
+            "-fopenmp"]
+
+
+def lib_path(name: str) -> Path:
+    return NATIVE_DIR / f"lib{name}.so"
+
+
+def ensure_built(name: str, verbose: bool = False) -> str:
+    srcs = [NATIVE_DIR / s for s in SOURCES[name]]
+    out = lib_path(name)
+    if out.exists() and all(out.stat().st_mtime >= s.stat().st_mtime
+                            for s in srcs if s.exists()):
+        return str(out)
+    missing = [s for s in srcs if not s.exists()]
+    if missing:
+        raise FileNotFoundError(f"missing sources: {missing}")
+    cmd = ["g++", *CXXFLAGS, "-o", str(out), *map(str, srcs)]
+    if verbose:
+        print(" ".join(cmd), file=sys.stderr)
+    subprocess.run(cmd, check=True, capture_output=not verbose)
+    return str(out)
+
+
+if __name__ == "__main__":
+    for name in SOURCES:
+        try:
+            print(name, "->", ensure_built(name, verbose=True))
+        except FileNotFoundError as e:
+            print(name, "skipped:", e)

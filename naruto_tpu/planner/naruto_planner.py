@@ -62,7 +62,9 @@ class NarutoPlanner:
 
     def init_data(self, bound) -> None:
         self.bbox = np.asarray(bound, dtype=np.float32)
-        self.voxel_size = self.pcfg.voxel_size
+        # single source of truth: the planner volume IS the mapper's
+        # uncertainty/SDF volume (ref configs/default.py:100 ties them)
+        self.voxel_size = self.cfg.mapper.voxel_size
         self.vol_shape = volume_shape(self.bbox, self.voxel_size)
         self.goal_space = make_goal_space(self.vol_shape, self.voxel_size,
                                           self.pcfg.gs_z_levels)

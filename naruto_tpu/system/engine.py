@@ -1,0 +1,107 @@
+"""The active-reconstruction engine: the sim -> map -> plan loop.
+
+Orchestration parity with src/naruto/main.py:40-151: construct simulator,
+mapper, planner, visualizer; per step — update module steps, resolve the
+pose, simulate RGB-D, run one mapping step (which returns fresh
+uncertainty/SDF volumes on mapping steps), then let the planner emit the
+next pose; at the end save the final mesh + checkpoint and print the timing
+breakdown. The strict simulate->map->plan dependency per step is preserved
+(SURVEY.md §5.2) — the planner consumes the volumes produced that step.
+"""
+from __future__ import annotations
+
+import os
+from typing import Optional
+
+import numpy as np
+
+from naruto_tpu.config.schema import MainConfig
+from naruto_tpu.mapping.mapper import Mapper
+from naruto_tpu.planner import init_planner
+from naruto_tpu.sim import init_simulator
+from naruto_tpu.system.pose_loader import PoseLoader
+from naruto_tpu.utils.printer import InfoPrinter
+from naruto_tpu.utils.seeding import fix_random_seed
+from naruto_tpu.utils.timer import Timer
+
+
+class Engine:
+    def __init__(self, cfg: MainConfig, quiet: bool = False):
+        self.cfg = cfg
+        self.printer = InfoPrinter(
+            "NARUTO-TPU", cfg.general.num_iter,
+            f"{cfg.general.dataset} - {cfg.general.scene}", quiet=quiet)
+        self.timer = Timer()
+
+        fix_random_seed(cfg.general.seed)
+        self.sim = init_simulator(cfg, self.printer)
+        self.mapper = Mapper(cfg, self.printer)
+        self.planner = init_planner(cfg, self.printer)
+        self.planner.update_sim(self.sim)
+        self.planner.init_data(cfg.mapper.bound_np)
+        self.planner.init_local_planner()
+        self.pose_loader = PoseLoader(cfg)
+
+        self.visualizer = None
+        if cfg.vis.enable_all_vis:
+            from naruto_tpu.visualization.saver import ArtifactSaver
+            self.visualizer = ArtifactSaver(cfg, self.printer)
+
+        self.uncert_sdf = None
+
+    def _init_pose(self) -> np.ndarray:
+        c2w = self.pose_loader.load_init_pose()
+        if self.cfg.enable_active_planning and self.pose_loader.traj is None \
+                and np.allclose(c2w, np.eye(4)):
+            # asset-free runs start at the room center (always free space in
+            # the analytic scenes); the reference's start_c2w is per-scene
+            bound = self.cfg.mapper.bound_np
+            c2w = np.eye(4, dtype=np.float32)
+            c2w[:3, 3] = bound.mean(axis=1)
+        return c2w
+
+    def run(self, num_iter: Optional[int] = None) -> np.ndarray:
+        cfg = self.cfg
+        n = num_iter if num_iter is not None else cfg.general.num_iter
+        c2w = self._init_pose()
+
+        for i in range(n):
+            for mod in (self.sim, self.mapper, self.planner):
+                mod.update_step(i)
+            if self.visualizer is not None:
+                self.visualizer.update_step(i)
+
+            c2w = self.pose_loader.update_pose(c2w, i)
+
+            with self.timer.time("Simulation", "General"):
+                color, depth = self.sim.simulate(c2w)[:2]
+
+            with self.timer.time("SLAM", "General"):
+                new_vols = self.mapper.online_recon_step(
+                    i, color, depth, c2w)
+
+            if self.visualizer is not None:
+                self.visualizer.main(self.mapper, self.planner, color,
+                                     depth, c2w)
+
+            if cfg.enable_active_planning:
+                with self.timer.time("Planning", "General"):
+                    if new_vols is not None:
+                        self.uncert_sdf = new_vols
+                    c2w = self.planner.main(
+                        self.uncert_sdf, np.asarray(c2w), new_vols is not None)
+        return np.asarray(c2w)
+
+    def finalize(self, result_dir: Optional[str] = None) -> None:
+        cfg = self.cfg
+        out = result_dir or os.path.join(
+            cfg.general.result_dir, cfg.general.dataset, cfg.general.scene)
+        os.makedirs(out, exist_ok=True)
+        from naruto_tpu.mesh.extract import save_mesh
+
+        save_mesh(self.mapper, os.path.join(
+            out, f"mesh_{cfg.general.num_iter:04d}_final.ply"),
+            voxel_size=cfg.mesh.voxel_final)
+        self.mapper.save_ckpt(os.path.join(
+            out, f"ckpt_{cfg.general.num_iter:04d}_final.pkl"))
+        self.timer.time_analysis()
