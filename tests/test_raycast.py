@@ -1,0 +1,86 @@
+"""C++ BVH raycaster tests against analytic expectations."""
+import numpy as np
+import pytest
+
+from naruto_tpu.config import make_config
+from naruto_tpu.config.schema import deep_update
+
+
+def box_mesh(lo, hi):
+    """Closed axis-aligned box (inward-facing triangles not required —
+    raycaster is double-sided). Vertex colors encode position."""
+    lo, hi = np.asarray(lo, float), np.asarray(hi, float)
+    corners = np.array([[lo[0], lo[1], lo[2]], [hi[0], lo[1], lo[2]],
+                        [hi[0], hi[1], lo[2]], [lo[0], hi[1], lo[2]],
+                        [lo[0], lo[1], hi[2]], [hi[0], lo[1], hi[2]],
+                        [hi[0], hi[1], hi[2]], [lo[0], hi[1], hi[2]]],
+                       dtype=np.float32)
+    quads = [(0, 1, 2, 3), (4, 5, 6, 7), (0, 1, 5, 4), (2, 3, 7, 6),
+             (1, 2, 6, 5), (0, 3, 7, 4)]
+    faces = []
+    for a, b, c, d in quads:
+        faces += [[a, b, c], [a, c, d]]
+    colors = (corners - lo) / (hi - lo)
+    return corners, np.asarray(faces, np.int32), colors.astype(np.float32)
+
+
+@pytest.fixture(scope="module")
+def sim():
+    from naruto_tpu.sim.raycast import RaycastSimulator
+
+    cfg = make_config("Replica", "office0", num_iter=10)
+    cfg = deep_update(cfg, {
+        "cam": {"H": 40, "W": 60, "fx": 30.0, "fy": 30.0, "cx": 29.5,
+                "cy": 19.5},
+        "sim": {"method": "raycast", "pinhole_hw": (40, 60),
+                "erp_hw": (32, 64)},
+    })
+    v, f, c = box_mesh([-2, -2, -2], [2, 2, 2])
+    return RaycastSimulator(cfg, verts=v, faces=f, colors=c)
+
+
+class TestRaycast:
+    def test_pinhole_depth(self, sim):
+        c2w = np.eye(4, dtype=np.float32)
+        color, depth = sim.simulate(c2w)
+        assert depth.shape == (40, 60)
+        # wall straight ahead at z=2
+        np.testing.assert_allclose(depth[20, 30], 2.0, atol=0.02)
+        # z-depth constant across the facing wall
+        assert abs(depth[20, 35] - depth[20, 25]) < 0.02
+        assert (depth > 0).all()  # closed box: everything hits
+
+    def test_vertex_colors_interpolated(self, sim):
+        c2w = np.eye(4, dtype=np.float32)
+        color, _ = sim.simulate(c2w)
+        # center of +z face: x,y centered -> r~0.5, g~0.5, b=1
+        np.testing.assert_allclose(color[20, 30], [0.5, 0.5, 1.0], atol=0.05)
+
+    def test_pose_translation(self, sim):
+        c2w = np.eye(4, dtype=np.float32)
+        c2w[2, 3] = 1.0  # move 1m toward the +z wall
+        _, depth = sim.simulate(c2w)
+        np.testing.assert_allclose(depth[20, 30], 1.0, atol=0.02)
+
+    def test_erp_distances(self, sim):
+        c2w = np.eye(4, dtype=np.float32)
+        _, _, erp_color, erp_dist = sim.simulate(c2w, return_erp=True)
+        assert erp_dist.shape == (32, 64)
+        assert (erp_dist < 1e6).all()  # closed box, no misses
+        # forward pixel distance = 2; diagonal pixels farther
+        np.testing.assert_allclose(erp_dist[16, 32], 2.0, atol=0.05)
+        assert erp_dist.max() <= np.sqrt(12) + 0.1  # corner distance
+
+    def test_erp_rotation_consistency(self, sim):
+        from scipy.spatial.transform import Rotation
+
+        c2w = np.eye(4, dtype=np.float32)
+        c2w2 = np.eye(4, dtype=np.float32)
+        c2w2[:3, :3] = Rotation.from_euler("y", 90, degrees=True).as_matrix()
+        _, _, _, d1 = sim.simulate(c2w, return_erp=True)
+        _, _, _, d2 = sim.simulate(c2w2, return_erp=True)
+        # rotating the camera 90 deg shifts the ERP by W/4 columns
+        shift = 64 // 4
+        row1 = d1[16]
+        row2 = np.roll(d2[16], shift)
+        np.testing.assert_allclose(row1, row2, atol=0.1)
