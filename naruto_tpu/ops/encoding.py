@@ -149,13 +149,68 @@ def _corner_indices(x: jnp.ndarray, spec: HashGridSpec):
     return idx.reshape(n, L * 8), w
 
 
-def hash_encode(table: jnp.ndarray, x: jnp.ndarray,
-                spec: HashGridSpec) -> jnp.ndarray:
-    """Encode points. table: [total, F]; x: [N, 3] in [0,1].
-    Returns [N, L*F] features."""
+def _encode_impl(table, x, spec: HashGridSpec):
     n = x.shape[0]
     idx, w = _corner_indices(x, spec)
     feats = jnp.take(table, idx, axis=0)                  # [N, L*8, F]
     feats = feats.reshape(n, spec.n_levels, 8, spec.n_features)
     out = jnp.sum(feats * w[..., None], axis=2)           # [N, L, F]
-    return out.reshape(n, spec.output_dim)
+    return out.reshape(n, spec.output_dim), (idx, w)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2,))
+def hash_encode(table: jnp.ndarray, x: jnp.ndarray,
+                spec: HashGridSpec) -> jnp.ndarray:
+    """Encode points. table: [total, F]; x: [N, 3] in [0,1].
+    Returns [N, L*F] features.
+
+    Custom VJP: the natural backward is a 12M-update scatter-add into the
+    table, which XLA serializes on TPU (~1s/call measured on v5e). The
+    backward here instead uses the scatter-free sort+cumsum+searchsorted
+    segment sum (ops/segment.py) — the TPU equivalent of tcnn's atomic-add
+    CUDA kernel.
+    """
+    out, _ = _encode_impl(table, x, spec)
+    return out
+
+
+def _hash_encode_fwd(table, x, spec):
+    out, (idx, w) = _encode_impl(table, x, spec)
+    return out, (table, x, idx, w)
+
+
+def _hash_encode_bwd(spec, res, g):
+    from naruto_tpu.ops.segment import dense_segment_sum
+
+    table, x, idx, w = res
+    n = x.shape[0]
+    L, F = spec.n_levels, spec.n_features
+    gl = g.reshape(n, L, 1, F)                            # [N, L, 1, F]
+
+    # table gradient: update (n, l, c) = g[n, l] * w[n, l, c]
+    upd = (gl * w[..., None]).reshape(-1, F)              # [N*L*8, F]
+    d_table = dense_segment_sum(idx.reshape(-1), upd, spec.total_entries)
+    d_table = d_table.astype(table.dtype)
+
+    # input gradient: d out / d frac via per-axis product rule; frac = x*res
+    feats = jnp.take(table, idx, axis=0).reshape(n, L, 8, F)
+    res_l = jnp.asarray(spec.resolutions, dtype=x.dtype)  # [L]
+    pos = x[:, None, :] * res_l[None, :, None]
+    i0 = jnp.clip(jnp.floor(pos).astype(jnp.int32), 0,
+                  jnp.asarray(spec.resolutions, jnp.int32)[None, :, None] - 1)
+    frac = jnp.clip(pos - i0.astype(x.dtype), 0.0, 1.0)   # [N, L, 3]
+    corners = jnp.asarray(
+        [[cx, cy, cz] for cx in (0, 1) for cy in (0, 1) for cz in (0, 1)],
+        dtype=x.dtype)                                    # [8, 3]
+    t = jnp.where(corners[None, None, :, :] > 0.5, frac[:, :, None, :],
+                  1.0 - frac[:, :, None, :])              # [N, L, 8, 3]
+    sign = jnp.where(corners > 0.5, 1.0, -1.0)            # [8, 3]
+    p = jnp.stack([t[..., 1] * t[..., 2],
+                   t[..., 0] * t[..., 2],
+                   t[..., 0] * t[..., 1]], axis=-1)       # [N, L, 8, 3]
+    gdotf = jnp.sum(gl * feats, axis=-1)                  # [N, L, 8]
+    d_x = jnp.einsum("nlc,ca,nlca,l->na", gdotf, sign, p, res_l)
+    return d_table, d_x.astype(x.dtype)
+
+
+hash_encode.defvjp(_hash_encode_fwd, _hash_encode_bwd)
