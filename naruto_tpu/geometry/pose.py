@@ -40,6 +40,39 @@ def replica_traj_to_rdf(c2w_rub_rows: np.ndarray) -> np.ndarray:
     return out
 
 
+def coslam_replica2habitat(pose: np.ndarray) -> np.ndarray:
+    """Mapper RDF c2w -> habitat RUB agent pose for Replica assets: negate
+    rows 1:3 (a world-frame flip baked into how the Replica ground truth was
+    exported — ref pose_loader.py:195-207)."""
+    out = np.asarray(pose, dtype=np.float32).copy()
+    out[1:3, :] *= -1
+    return out
+
+
+def coslam_mp3d2habitat(pose: np.ndarray) -> np.ndarray:
+    """Mapper RDF c2w -> habitat pose for MP3D assets: a +90deg world
+    rotation about x with a matching translation swizzle
+    (ref pose_loader.py:210-225)."""
+    pose = np.asarray(pose, dtype=np.float32)
+    T = np.array([[1, 0, 0, 0], [0, 0, 1, 0], [0, -1, 0, 0], [0, 0, 0, 1]],
+                 dtype=np.float32)
+    out = T @ pose
+    out[1, 3] = pose[2, 3]
+    out[2, 3] = -pose[1, 3]
+    return out
+
+
+def habitat_pose_conversion(pose: np.ndarray, method: str) -> np.ndarray:
+    """Dispatch — ref pose_loader.py:167-188."""
+    if method == "coslam_replica2habitat":
+        return coslam_replica2habitat(pose)
+    if method == "coslam_mp3d2habitat":
+        return coslam_mp3d2habitat(pose)
+    if method == "coslam_naruto2habitat":
+        return np.asarray(pose, dtype=np.float32)
+    raise NotImplementedError(method)
+
+
 def lookat_rotation(eye: np.ndarray, target: np.ndarray,
                     up_dir: np.ndarray = np.array([0.0, 0.0, 1.0])) -> np.ndarray:
     """RUB/OpenGL look-at rotation with columns [right, up, backward].

@@ -1,0 +1,139 @@
+"""Tests for scripted simulation, replay, offline visualization, pose export."""
+import os
+
+import numpy as np
+import pytest
+
+from naruto_tpu.config import make_config
+from naruto_tpu.config.schema import deep_update
+from naruto_tpu.geometry.pose import (
+    coslam_mp3d2habitat, coslam_replica2habitat, habitat_pose_conversion,
+)
+from naruto_tpu.sim import init_simulator
+from naruto_tpu.sim.scripted import (
+    generate_motion_profile, run_scripted_simulation,
+)
+
+BOUND = ((-1.5, 1.5), (-1.5, 1.5), (-1.0, 1.0))
+
+
+def small_cfg(tmp):
+    cfg = make_config("Replica", "office0", num_iter=5)
+    return deep_update(cfg, {
+        "cam": {"H": 20, "W": 24, "fx": 15.0, "fy": 15.0, "cx": 11.5,
+                "cy": 9.5},
+        "sim": {"method": "analytic", "pinhole_hw": (20, 24),
+                "erp_hw": (12, 24)},
+        "mapper": {"bound": BOUND, "marching_cubes_bound": BOUND},
+        "general": {"result_dir": str(tmp)},
+    })
+
+
+class TestPoseConversions:
+    def test_replica_involution(self):
+        rng = np.random.default_rng(0)
+        q, _ = np.linalg.qr(rng.normal(size=(3, 3)))
+        T = np.eye(4, dtype=np.float32)
+        T[:3, :3] = q
+        T[:3, 3] = rng.normal(size=3)
+        # applying the replica flip twice returns the original
+        np.testing.assert_allclose(
+            coslam_replica2habitat(coslam_replica2habitat(T)), T, atol=1e-6)
+
+    def test_mp3d_preserves_rigidity(self):
+        rng = np.random.default_rng(1)
+        q, _ = np.linalg.qr(rng.normal(size=(3, 3)))
+        T = np.eye(4, dtype=np.float32)
+        T[:3, :3] = q * np.sign(np.linalg.det(q))
+        out = coslam_mp3d2habitat(T)
+        R = out[:3, :3]
+        np.testing.assert_allclose(R @ R.T, np.eye(3), atol=1e-5)
+
+    def test_dispatch(self):
+        T = np.eye(4, dtype=np.float32)
+        np.testing.assert_allclose(
+            habitat_pose_conversion(T, "coslam_naruto2habitat"), T)
+        with pytest.raises(NotImplementedError):
+            habitat_pose_conversion(T, "nope")
+
+
+class TestMotionProfiles:
+    def test_all_profiles_produce_valid_poses(self):
+        start = np.eye(4, dtype=np.float32)
+        for profile in ("stationary", "forward", "spiral_forward", "random"):
+            poses = generate_motion_profile(profile, 8, start, seed=1)
+            assert len(poses) == 8
+            for p in poses:
+                R = p[:3, :3]
+                np.testing.assert_allclose(R @ R.T, np.eye(3), atol=1e-4)
+
+    def test_forward_moves_forward(self):
+        start = np.eye(4, dtype=np.float32)
+        poses = generate_motion_profile("forward", 5, start)
+        assert poses[4][2, 3] > poses[0][2, 3]
+
+    def test_predefined(self):
+        ps = [np.eye(4)] * 3
+        out = generate_motion_profile("predefined", 3, np.eye(4),
+                                      predefined=ps)
+        assert len(out) == 3
+
+
+class TestScriptedAndReplay:
+    def test_scripted_then_replay_roundtrip(self, tmp_path):
+        cfg = small_cfg(tmp_path)
+        sim = init_simulator(cfg)
+        poses = generate_motion_profile("stationary", 3,
+                                        np.eye(4, dtype=np.float32))
+        out_dir = str(tmp_path / "export")
+        run_scripted_simulation(sim, poses, out_dir)
+        assert os.path.exists(os.path.join(out_dir, "traj.txt"))
+        assert os.path.exists(os.path.join(out_dir, "results",
+                                           "frame000000.jpg"))
+        # replay the exported data
+        cfg2 = deep_update(cfg, {"sim": {"method": "replay",
+                                         "scene_path": out_dir}})
+        replay = init_simulator(cfg2)
+        replay.update_step(0)
+        color, depth = replay.simulate(np.eye(4))
+        assert color.shape == (20, 24, 3)
+        # depth survives the png quantization
+        ref_color, ref_depth = sim.simulate(np.eye(4, dtype=np.float32))
+        np.testing.assert_allclose(depth, np.asarray(ref_depth), atol=0.01)
+
+
+class TestOfflineViz:
+    def test_traj_plot_and_video(self, tmp_path):
+        from naruto_tpu.visualization.offline import (
+            make_video, plot_trajectory,
+        )
+        import cv2
+
+        run_dir = tmp_path / "visualization"
+        (run_dir / "pose").mkdir(parents=True)
+        (run_dir / "rgbd").mkdir()
+        for i in range(4):
+            T = np.eye(4)
+            T[:3, 3] = [i * 0.1, 0, 0]
+            np.save(run_dir / "pose" / f"{i:04d}.npy", T)
+            img = np.full((20, 40, 3), i * 40, np.uint8)
+            cv2.imwrite(str(run_dir / "rgbd" / f"{i:04d}.png"), img)
+        out_png = str(tmp_path / "traj.png")
+        plot_trajectory(str(run_dir), out_png)
+        assert os.path.getsize(out_png) > 0
+        out_mp4 = str(tmp_path / "v.mp4")
+        make_video(str(run_dir), out_mp4)
+        assert os.path.getsize(out_mp4) > 0
+
+
+def test_pose_export_cli(tmp_path):
+    import pickle
+    from naruto_tpu import export_pose
+
+    poses = np.tile(np.eye(4, dtype=np.float32), (5, 1, 1))
+    ckpt = str(tmp_path / "c.pkl")
+    with open(ckpt, "wb") as f:
+        pickle.dump({"params": {}, "poses": poses, "step": 4}, f)
+    out = str(tmp_path / "p.npy")
+    export_pose.main(["--ckpt", ckpt, "--out", out, "--num", "3"])
+    assert np.load(out).shape == (3, 4, 4)
