@@ -141,6 +141,12 @@ class MapperConfig:
     voxel_size: float = 0.1
     # tracking (disabled in every shipped config — ref: replica_coslam.yaml:30)
     tracking_enable: bool = False
+    track_iter: int = 10
+    track_sample: int = 1024
+    track_ignore_edge_w: int = 20
+    track_ignore_edge_h: int = 20
+    track_best: bool = True
+    track_const_speed: bool = True
     # uncertainty-grid optimizer — ref: coslam.py:240-243,397-399
     lr_uncert: float = 1.0
     uncert_accum_iters: int = 5

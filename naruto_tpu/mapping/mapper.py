@@ -169,6 +169,14 @@ class Mapper:
 
         self.map_tx = _make_map_optimizer(cfg)
         self.uncert_tx = _make_uncert_optimizer(cfg)
+        self.track_enabled = m.tracking_enable
+        # pose optimizer (axis-angle lr_rot / translation lr_trans) — ref
+        # get_pose_param_optim; only used when tracking is enabled
+        self.pose_tx = optax.multi_transform(
+            {"rot": optax.adam(m.lr_rot, b1=0.9, b2=0.99),
+             "trans": optax.adam(m.lr_trans, b1=0.9, b2=0.99)},
+            {"rot": "rot", "trans": "trans", "rot_c": "rot",
+             "trans_c": "trans"})
 
         key = jax.random.PRNGKey(cfg.general.seed)
         key, k_init = jax.random.split(key)
@@ -189,6 +197,7 @@ class Mapper:
         self.step = 0
         self._ba_jits: Dict[int, callable] = {}
         self._ff_jit = jax.jit(self._first_frame_impl, donate_argnums=(0,))
+        self._track_jit = jax.jit(self._tracking_impl)
         self._vol_jit = jax.jit(self._volumes_impl)
         self._sdf_query_jit = jax.jit(
             lambda params, x01: query_sdf(params, x01, self.spec,
@@ -276,6 +285,15 @@ class Mapper:
     # ------------------------------------------------------------ global BA
     def _ba_impl(self, cur_cap: int, state: MapperState, frame_rays,
                  c2w, frame_id, key) -> MapperState:
+        """One global-BA mapping step (ref global_BA, coslam.py:246-407).
+
+        With tracking enabled, keyframe poses (except the first) and the
+        current pose (optim_cur) are optimized as axis-angle+translation
+        variables with their own Adam, stepped every pose_accum_step
+        iterations on accumulated gradients — matching the reference's
+        pose_optimizer cadence. With tracking disabled (every shipped
+        config), poses are fixed planner/GT inputs.
+        """
         m = self.cfg.mapper
         active = m.active_ray
         n_os = m.sample * (m.act_ray_oversample_mul if active else 1)
@@ -283,6 +301,7 @@ class Mapper:
         k_sel = m.act_ray_num_uncert_sample
         min_cur = m.min_pixels_cur * (m.act_ray_oversample_mul if active else 1)
         kf_every = m.keyframe_every
+        opt_poses = self.track_enabled
 
         state = state._replace(poses=state.poses.at[frame_id].set(c2w))
 
@@ -302,28 +321,72 @@ class Mapper:
         vol_max = jnp.asarray(
             [s - 1 for s in self.vol_shape], dtype=jnp.int32)
 
-        def body(st, k):
-            ks = jax.random.split(k, 5)
-            g_rays, g_slots = sample_global_rays(st.kf, ks[0], n_os)
-            g_poses = st.poses[g_slots * kf_every]
-            g_o, g_d, g_rgb, g_depth = _transform_rays(g_rays, g_poses)
+        if opt_poses:
+            from naruto_tpu.mapping.pose_opt import (
+                matrix_from_tensor, pose_to_tensor,
+            )
+            kf_poses0 = state.poses[
+                jnp.arange(self.num_kf, dtype=jnp.int32) * kf_every]
+            rot0, trans0 = pose_to_tensor(kf_poses0)       # [num_kf, 3] x2
+            rot_c0, trans_c0 = pose_to_tensor(c2w)
+            pose_vars0 = {"rot": rot0, "trans": trans0,
+                          "rot_c": rot_c0, "trans_c": trans_c0}
+            pose_opt0 = self.pose_tx.init(pose_vars0)
+            pose_accum0 = jax.tree_util.tree_map(jnp.zeros_like, pose_vars0)
+            # slot 0 stays fixed; slots >= count are empty
+            slot_mask = jnp.logical_and(
+                jnp.arange(self.num_kf) > 0,
+                jnp.arange(self.num_kf) < state.kf.count
+            ).astype(jnp.float32)[:, None]
 
+            def kf_pose_matrices(pv):
+                mats = matrix_from_tensor(pv["rot"], pv["trans"])
+                fixed = state.poses[
+                    jnp.arange(self.num_kf, dtype=jnp.int32) * kf_every]
+                return jnp.where((slot_mask > 0)[..., None], mats, fixed)
+
+            def cur_pose_matrix(pv):
+                if m.optim_cur:
+                    return matrix_from_tensor(pv["rot_c"][None],
+                                              pv["trans_c"][None])[0]
+                return c2w
+        else:
+            pose_vars0 = pose_opt0 = pose_accum0 = None
+
+        keep_cap = cur_cap // 4
+        cand_cap = cur_cap - keep_cap
+        num_keep = num_cur // 4
+        num_cand = num_cur - num_keep
+
+        def body(st, pv, k):
+            ks = jax.random.split(k, 3)
+            g_rays, g_slots = sample_global_rays(st.kf, ks[0], n_os)
             j = jax.random.randint(ks[1], (cur_cap,), 0, n_valid)
             c_rays = frame_rays[valid_order[j]]
-            c_pose = jnp.broadcast_to(c2w, (cur_cap, 4, 4))
-            c_o, c_d, c_rgb, c_depth = _transform_rays(c_rays, c_pose)
             c_mask = (jnp.arange(cur_cap) < num_cur).astype(jnp.float32)
 
+            def assemble(pv):
+                if opt_poses:
+                    g_poses = kf_pose_matrices(pv)[g_slots]
+                    cur_mat = cur_pose_matrix(pv)
+                else:
+                    g_poses = st.poses[g_slots * kf_every]
+                    cur_mat = c2w
+                g = _transform_rays(g_rays, g_poses)
+                c_pose = jnp.broadcast_to(cur_mat, (cur_cap, 4, 4))
+                c = _transform_rays(c_rays, c_pose)
+                return g, c
+
+            # active-ray selection indices: computed on stop-grad rays
+            # (selection is discrete; gradients flow through the selected
+            #  rays' re-assembly below)
             if active:
-                keep_cap = cur_cap // 4
-                cand_cap = cur_cap - keep_cap
-                num_keep = num_cur // 4
-                num_cand = num_cur - num_keep
-                # candidate pool: oversampled global tail + 3/4 of current
+                (g_o, g_d, _, g_depth), (c_o, c_d, _, c_depth) = \
+                    jax.lax.stop_gradient(assemble(pv))
                 cand_o = jnp.concatenate([g_o[base:], c_o[:cand_cap]])
                 cand_d = jnp.concatenate([g_d[base:], c_d[:cand_cap]])
-                cand_rgb = jnp.concatenate([g_rgb[base:], c_rgb[:cand_cap]])
-                cand_dep = jnp.concatenate([g_depth[base:], c_depth[:cand_cap]])
+                cand_dep = jnp.concatenate(
+                    [g_depth[base:], c_depth[:cand_cap]])
                 cand_valid = jnp.concatenate([
                     jnp.ones((n_os - base,), dtype=bool),
                     jnp.arange(cand_cap) < num_cand])
@@ -335,47 +398,150 @@ class Mapper:
                 score = -u if m.active_select_highest else u
                 score = jnp.where(cand_valid, score, jnp.inf)
                 _, sel = jax.lax.top_k(-score, k_sel)
-                rays_o = jnp.concatenate(
-                    [cand_o[sel], g_o[:base - k_sel], c_o[cand_cap:]])
-                rays_d = jnp.concatenate(
-                    [cand_d[sel], g_d[:base - k_sel], c_d[cand_cap:]])
-                t_rgb = jnp.concatenate(
-                    [cand_rgb[sel], g_rgb[:base - k_sel], c_rgb[cand_cap:]])
-                t_d = jnp.concatenate(
-                    [cand_dep[sel], g_depth[:base - k_sel],
-                     c_depth[cand_cap:]])
-                mask = jnp.concatenate([
-                    jnp.ones((base,), dtype=jnp.float32),
-                    (jnp.arange(keep_cap) < num_keep).astype(jnp.float32)])
             else:
-                rays_o = jnp.concatenate([g_o, c_o])
-                rays_d = jnp.concatenate([g_d, c_d])
-                t_rgb = jnp.concatenate([g_rgb, c_rgb])
-                t_d = jnp.concatenate([g_depth, c_depth])
-                mask = jnp.concatenate(
-                    [jnp.ones((n_os,), dtype=jnp.float32), c_mask])
+                sel = None
 
-            (_, _), grads = jax.value_and_grad(
-                self._loss_fn, has_aux=True)(
-                    st.params, ks[2], rays_o, rays_d, t_rgb, t_d, mask, True)
+            def build_batch(pv):
+                (g_o, g_d, g_rgb, g_depth), (c_o, c_d, c_rgb, c_depth) = \
+                    assemble(pv)
+                if active:
+                    cat = lambda ga, ca: jnp.concatenate(
+                        [jnp.concatenate([ga[base:], ca[:cand_cap]])[sel],
+                         ga[:base - k_sel], ca[cand_cap:]])
+                    rays_o = cat(g_o, c_o)
+                    rays_d = cat(g_d, c_d)
+                    t_rgb = cat(g_rgb, c_rgb)
+                    t_d = cat(g_depth, c_depth)
+                    mask = jnp.concatenate([
+                        jnp.ones((base,), dtype=jnp.float32),
+                        (jnp.arange(keep_cap) < num_keep)
+                        .astype(jnp.float32)])
+                else:
+                    rays_o = jnp.concatenate([g_o, c_o])
+                    rays_d = jnp.concatenate([g_d, c_d])
+                    t_rgb = jnp.concatenate([g_rgb, c_rgb])
+                    t_d = jnp.concatenate([g_depth, c_depth])
+                    mask = jnp.concatenate(
+                        [jnp.ones((n_os,), dtype=jnp.float32), c_mask])
+                return rays_o, rays_d, t_rgb, t_d, mask
+
+            if opt_poses:
+                def loss_both(params, pv):
+                    rays_o, rays_d, t_rgb, t_d, mask = build_batch(pv)
+                    return self._loss_fn(params, ks[2], rays_o, rays_d,
+                                         t_rgb, t_d, mask, True)
+                (_, _), (grads, pose_grads) = jax.value_and_grad(
+                    loss_both, argnums=(0, 1), has_aux=True)(st.params, pv)
+                pose_grads["rot"] = pose_grads["rot"] * slot_mask
+                pose_grads["trans"] = pose_grads["trans"] * slot_mask
+            else:
+                rays_o, rays_d, t_rgb, t_d, mask = build_batch(pv)
+                (_, _), grads = jax.value_and_grad(
+                    self._loss_fn, has_aux=True)(
+                        st.params, ks[2], rays_o, rays_d, t_rgb, t_d, mask,
+                        True)
+                pose_grads = None
+
             st = self._apply_map_update(st, grads)
             st = self._accum_uncert(st, grads)
-            return st, None
+            return st, pose_grads
 
-        def outer(st, inputs):
+        def outer(carry, inputs):
+            st, pv, p_opt, p_accum = carry
             it, k = inputs
-            st, _ = body(st, k)
+            st, pose_grads = body(st, pv, k)
             if self.spec.uncert_grid:
                 st = jax.lax.cond(
                     (it + 1) % m.uncert_accum_iters == 0,
                     self._apply_uncert_update, lambda s: s, st)
-            return st, None
+            if opt_poses:
+                p_accum = jax.tree_util.tree_map(
+                    lambda a, g: a + g, p_accum, pose_grads)
+
+                def do_step(args):
+                    pv, p_opt, p_accum = args
+                    updates, p_opt = self.pose_tx.update(p_accum, p_opt, pv)
+                    pv = optax.apply_updates(pv, updates)
+                    p_accum = jax.tree_util.tree_map(jnp.zeros_like, p_accum)
+                    return pv, p_opt, p_accum
+
+                pv, p_opt, p_accum = jax.lax.cond(
+                    (it + 1) % m.pose_accum_step == 0,
+                    do_step, lambda a: a, (pv, p_opt, p_accum))
+            return (st, pv, p_opt, p_accum), None
 
         iters = m.iters
         keys = jax.random.split(key, iters)
-        state, _ = jax.lax.scan(
-            outer, state, (jnp.arange(iters, dtype=jnp.int32), keys))
+        if opt_poses:
+            carry0 = (state, pose_vars0, pose_opt0, pose_accum0)
+        else:
+            carry0 = (state, None, None, None)
+        (state, pv, _, _), _ = jax.lax.scan(
+            outer, carry0, (jnp.arange(iters, dtype=jnp.int32), keys))
+
+        if opt_poses:
+            # write optimized poses back (ref coslam.py:400-407)
+            mats = kf_pose_matrices(pv)
+            frame_ids = jnp.arange(self.num_kf, dtype=jnp.int32) * kf_every
+            upd = jnp.where((slot_mask > 0)[..., None], mats,
+                            state.poses[frame_ids])
+            poses = state.poses.at[frame_ids].set(upd)
+            if m.optim_cur:
+                poses = poses.at[frame_id].set(cur_pose_matrix(pv))
+            state = state._replace(poses=poses)
         return state
+
+    # -------------------------------------------------------------- tracking
+    def _tracking_impl(self, state: MapperState, frame_rays, init_c2w, key):
+        """Camera tracking by pose-only optimization against the frozen
+        field (ref tracking_render via upstream Co-SLAM; disabled in every
+        shipped config). Returns the estimated c2w."""
+        from naruto_tpu.mapping.pose_opt import (
+            matrix_from_tensor, pose_to_tensor,
+        )
+        m = self.cfg.mapper
+        n = m.track_sample
+        iw, ih = m.track_ignore_edge_w, m.track_ignore_edge_h
+
+        rot0, trans0 = pose_to_tensor(init_c2w)
+        pv0 = {"rot_c": rot0, "trans_c": trans0}
+        track_tx = optax.multi_transform(
+            {"rot": optax.adam(m.lr_rot, b1=0.9, b2=0.99),
+             "trans": optax.adam(m.lr_trans, b1=0.9, b2=0.99)},
+            {"rot_c": "rot", "trans_c": "trans"})
+        opt0 = track_tx.init(pv0)
+
+        def body(carry, k):
+            pv, opt, best_loss, best_pv = carry
+            k1, k2, k3 = jax.random.split(k, 3)
+            us = jax.random.randint(k1, (n,), iw, self.W - iw)
+            vs = jax.random.randint(k3, (n,), ih, self.H - ih)
+            rays = frame_rays[vs * self.W + us]
+
+            def loss_fn(pv):
+                c2w = matrix_from_tensor(pv["rot_c"][None],
+                                         pv["trans_c"][None])[0]
+                pose = jnp.broadcast_to(c2w, (n, 4, 4))
+                rays_o, rays_d, rgb, d = _transform_rays(rays, pose)
+                mask = jnp.ones((n,), dtype=jnp.float32)
+                return self._loss_fn(state.params, k2, rays_o, rays_d, rgb,
+                                     d, mask, False)
+
+            (loss, _), g = jax.value_and_grad(loss_fn, has_aux=True)(pv)
+            better = loss < best_loss
+            best_pv = jax.tree_util.tree_map(
+                lambda b, c: jnp.where(better, c, b), best_pv, pv)
+            best_loss = jnp.minimum(best_loss, loss)
+            updates, opt = track_tx.update(g, opt, pv)
+            pv = optax.apply_updates(pv, updates)
+            return (pv, opt, best_loss, best_pv), None
+
+        keys = jax.random.split(key, m.track_iter)
+        (pv, _, best_loss, best_pv), _ = jax.lax.scan(
+            body, (pv0, opt0, jnp.inf, pv0), keys)
+        chosen = best_pv if m.track_best else pv
+        return matrix_from_tensor(chosen["rot_c"][None],
+                                  chosen["trans_c"][None])[0]
 
     def _get_ba_jit(self, cur_cap: int):
         if cur_cap not in self._ba_jits:
@@ -430,7 +596,16 @@ class Mapper:
                                 filter_depth=m.filter_depth))
             vols = self.get_map_volumes()
         else:
-            # tracking disabled: pose comes from the planner/GT (ref :595)
+            if self.track_enabled:
+                # constant-speed init, pose-only optimization (ref :597-602)
+                from naruto_tpu.mapping.pose_opt import const_speed_init
+                prev = self.state.poses[i - 1]
+                prev2 = self.state.poses[max(i - 2, 0)]
+                init = (const_speed_init(prev, prev2)
+                        if (m.track_const_speed and i >= 2) else prev)
+                c2w = self._track_jit(self.state, frame_rays, init,
+                                      self._next_key())
+            # with tracking disabled the pose is the planner/GT (ref :595)
             self.state = self.state._replace(
                 poses=self.state.poses.at[i].set(c2w))
             if i % m.map_every == 0:
