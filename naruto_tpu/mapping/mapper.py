@@ -660,3 +660,26 @@ class Mapper:
         poses = jnp.asarray(blob["poses"])
         self.state = self.state._replace(params=params, poses=poses)
         self.step = int(blob.get("step", 0))
+
+    # ---------------------------------------------------- full-state resume
+    # The reference writes checkpoints only for evaluation (no mid-run
+    # resume — SURVEY.md §5.4). Since all mapper state is one pytree,
+    # true resume is cheap here and provided as an extension.
+    def save_full_state(self, path: str) -> None:
+        import os
+        import pickle
+
+        blob = jax.tree_util.tree_map(np.asarray, self.state._asdict())
+        blob["__step__"] = self.step
+        os.makedirs(os.path.dirname(os.path.abspath(path)), exist_ok=True)
+        with open(path, "wb") as f:
+            pickle.dump(blob, f)
+
+    def load_full_state(self, path: str) -> None:
+        import pickle
+
+        with open(path, "rb") as f:
+            blob = pickle.load(f)
+        self.step = int(blob.pop("__step__", 0))
+        state = jax.tree_util.tree_map(jnp.asarray, blob)
+        self.state = MapperState(**state)

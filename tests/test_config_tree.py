@@ -1,0 +1,63 @@
+"""YAML config tree + projection ops tests."""
+import os
+
+import jax.numpy as jnp
+import numpy as np
+
+from naruto_tpu.config import load_config
+from naruto_tpu.geometry.projection import backproject, project, transform3d
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+class TestConfigTree:
+    def test_all_scene_configs_load(self):
+        n = 0
+        for ds in ("Replica", "MP3D", "NARUTO"):
+            base = os.path.join(REPO, "configs", ds)
+            for scene in sorted(os.listdir(base)):
+                cfg = load_config(os.path.join(base, scene, "naruto.yaml"))
+                assert cfg.general.dataset == ds
+                assert cfg.general.scene == scene
+                assert cfg.mapper.bound_np.shape == (3, 2)
+                n += 1
+        assert n == 16
+
+    def test_office0_yaml_matches_preset(self):
+        cfg = load_config(os.path.join(REPO, "configs", "Replica", "office0",
+                                       "naruto.yaml"))
+        np.testing.assert_allclose(
+            cfg.mapper.bound_np,
+            [[-2.2, 2.6], [-3.4, 2.1], [-1.4, 2.0]])
+        assert cfg.general.num_iter == 2000
+
+    def test_inherit_from(self, tmp_path):
+        base = tmp_path / "base.yaml"
+        base.write_text("dataset: Replica\nscene: room0\n"
+                        "mapper:\n  iters: 7\n")
+        child = tmp_path / "child.yaml"
+        child.write_text(f"inherit_from: {base}\nmapper:\n  sample: 99\n")
+        cfg = load_config(str(child))
+        assert cfg.mapper.iters == 7 and cfg.mapper.sample == 99
+        assert cfg.general.scene == "room0"
+
+
+class TestProjection:
+    def test_backproject_project_roundtrip(self):
+        K = jnp.asarray([[50.0, 0, 15.5], [0, 50.0, 11.5], [0, 0, 1.0]])
+        inv_K = jnp.linalg.inv(K)
+        depth = jnp.full((24, 32), 2.0)
+        pts = backproject(depth, inv_K)
+        assert pts.shape == (4, 24 * 32)
+        uv = project(pts, K)
+        u, v = jnp.meshgrid(jnp.arange(32.0), jnp.arange(24.0), indexing="xy")
+        np.testing.assert_allclose(np.asarray(uv[:, 0]),
+                                   np.asarray(u.reshape(-1)), atol=1e-4)
+        np.testing.assert_allclose(np.asarray(uv[:, 1]),
+                                   np.asarray(v.reshape(-1)), atol=1e-4)
+
+    def test_transform(self):
+        T = jnp.eye(4).at[:3, 3].set(jnp.asarray([1.0, 2, 3]))
+        p = jnp.asarray([[0.0], [0], [0], [1]])
+        out = transform3d(T, p)
+        np.testing.assert_allclose(np.asarray(out[:3, 0]), [1, 2, 3])

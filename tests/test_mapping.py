@@ -252,3 +252,32 @@ class TestMapperEndToEnd:
         mapper.load_ckpt(p)
         after = mapper.predict_sdf(np.array([[0.1, 0.2, 0.5]]))
         np.testing.assert_allclose(before, after)
+
+
+class TestFullStateResume:
+    def test_resume_reproduces_run(self):
+        """Mid-run full-state checkpoint -> identical continuation."""
+        cfg = tiny_cfg()
+        color, depth = _render_wall_frame(cfg)
+        c2w = np.eye(4, dtype=np.float32)
+
+        m1 = Mapper(cfg)
+        for i in range(6):
+            m1.update_step(i)
+            m1.online_recon_step(i, color, depth, c2w)
+        import tempfile, os
+        with tempfile.TemporaryDirectory() as td:
+            p = os.path.join(td, "full.pkl")
+            m1.save_full_state(p)
+            key_saved = m1._key
+
+            m2 = Mapper(cfg)
+            m2.load_full_state(p)
+            m2._key = key_saved
+            for i in range(6, 11):
+                for m in (m1, m2):
+                    m.update_step(i)
+                    m.online_recon_step(i, color, depth, c2w)
+            a = m1.predict_sdf(np.array([[0.1, 0.2, 0.5]]))
+            b = m2.predict_sdf(np.array([[0.1, 0.2, 0.5]]))
+            np.testing.assert_allclose(a, b, atol=1e-6)
