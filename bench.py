@@ -27,6 +27,10 @@ def main() -> None:
     import jax
     import jax.numpy as jnp
 
+    from naruto_tpu.utils.cache import enable_compilation_cache
+
+    enable_compilation_cache()
+
     from naruto_tpu.config import make_config
     from naruto_tpu.config.schema import deep_update
     from naruto_tpu.geometry.rays import get_camera_rays

@@ -27,6 +27,9 @@ from naruto_tpu.utils.timer import Timer
 
 class Engine:
     def __init__(self, cfg: MainConfig, quiet: bool = False):
+        from naruto_tpu.utils.cache import enable_compilation_cache
+
+        enable_compilation_cache()
         self.cfg = cfg
         self.printer = InfoPrinter(
             "NARUTO-TPU", cfg.general.num_iter,
