@@ -195,6 +195,7 @@ class Mapper:
         )
         self._key = key
         self.step = 0
+        self.result_dir: Optional[str] = None
         self._ba_jits: Dict[int, callable] = {}
         self._ff_jit = jax.jit(self._first_frame_impl, donate_argnums=(0,))
         self._track_jit = jax.jit(self._tracking_impl)
@@ -576,6 +577,34 @@ class Mapper:
         self.state = self.state._replace(uncert_vol=u)
         return np.asarray(u), np.asarray(s)
 
+    # --------------------------------------------------------------- meshes
+    def save_mesh(self, step: int, voxel_size: float = 0.05,
+                  suffix: str = "") -> Optional[str]:
+        """Periodic mesh snapshot (ref save_mesh, coslam.py:421-458);
+        requires result_dir to be set."""
+        if self.result_dir is None:
+            return None
+        import os
+        from naruto_tpu.mesh.extract import save_mesh as _save
+
+        path = os.path.join(self.result_dir, "mesh",
+                            f"mesh_{step:04d}{suffix}.ply")
+        os.makedirs(os.path.dirname(path), exist_ok=True)
+        return _save(self, path, voxel_size=voxel_size, color_mode="color")
+
+    def save_uncert_mesh(self, step: int, voxel_size: float = 0.05,
+                         suffix: str = "") -> Optional[str]:
+        """Uncertainty-colored mesh (ref save_uncert_mesh, coslam.py:460)."""
+        if self.result_dir is None:
+            return None
+        import os
+        from naruto_tpu.mesh.extract import save_mesh as _save
+
+        path = os.path.join(self.result_dir, "uncert_mesh",
+                            f"mesh_{step:04d}{suffix}.ply")
+        os.makedirs(os.path.dirname(path), exist_ok=True)
+        return _save(self, path, voxel_size=voxel_size, color_mode="uncert")
+
     # ------------------------------------------------------------ online API
     def online_recon_step(self, i: int, color, depth, c2w):
         """One mapping step. Returns [uncert_vol, sdf_vol] (numpy) on mapping
@@ -584,6 +613,10 @@ class Mapper:
         c2w = jnp.asarray(c2w, dtype=jnp.float32)
         frame_rays = self.frame_to_rays(color, depth)
         vols = None
+
+        # periodic mesh snapshot (ref coslam.py:571-574)
+        if self.result_dir is not None and i % self.cfg.mesh.vis_freq == 0:
+            self.save_mesh(i, voxel_size=self.cfg.mesh.voxel_eval)
 
         if i == 0:
             self.printer("First frame mapping...", i, "Mapper")

@@ -45,6 +45,10 @@ class Engine:
         self.planner.init_local_planner()
         self.pose_loader = PoseLoader(cfg)
 
+        run_dir = os.path.join(cfg.general.result_dir, cfg.general.dataset,
+                               cfg.general.scene)
+        self.mapper.result_dir = run_dir
+
         self.visualizer = None
         if cfg.vis.enable_all_vis:
             from naruto_tpu.visualization.saver import ArtifactSaver
