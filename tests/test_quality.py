@@ -1,0 +1,92 @@
+"""Reconstruction-quality integration test: passive mapping of the analytic
+scene vs. its exact ground truth. Exercises the full quality loop the
+reference validates end-to-end (SURVEY.md §4): frames -> mapper -> mesh ->
+accuracy/completion/MAD."""
+import numpy as np
+import pytest
+
+from naruto_tpu.config import make_config
+from naruto_tpu.config.schema import deep_update
+from naruto_tpu.evaluation import eval_mad, eval_mesh
+from naruto_tpu.geometry.pose import lookat_rotation
+from naruto_tpu.mapping.mapper import Mapper
+from naruto_tpu.mesh.extract import extract_mesh
+from naruto_tpu.mesh.marching import marching_cubes
+from naruto_tpu.sim import init_simulator
+
+BOUND = ((-1.5, 1.5), (-1.5, 1.5), (-1.0, 1.0))
+
+
+def quality_cfg():
+    cfg = make_config("Replica", "office0", num_iter=100)
+    return deep_update(cfg, {
+        "cam": {"H": 60, "W": 80, "fx": 50.0, "fy": 50.0, "cx": 39.5,
+                "cy": 29.5, "far": 5.0},
+        "sim": {"method": "analytic", "pinhole_hw": (60, 80),
+                "erp_hw": (16, 32)},
+        "grid": {"n_levels": 8, "hash_size": 14, "voxel_sdf": 0.04},
+        "mapper": {"sample": 512, "iters": 5, "first_iters": 100,
+                   "min_pixels_cur": 16, "act_ray_num_uncert_sample": 64,
+                   "bound": BOUND, "marching_cubes_bound": BOUND,
+                   "voxel_size": 0.2},
+        "training": {"n_samples_d": 16, "n_range_d": 7, "smooth_pts": 8},
+    })
+
+
+def orbit_poses(n, radius=0.55, height=0.0):
+    """Cameras on a circle looking outward with varying pitch (covers
+    walls, floor and ceiling)."""
+    poses = []
+    for i in range(n):
+        ang = 2 * np.pi * i / n
+        pos = np.array([radius * np.cos(ang), radius * np.sin(ang), height],
+                       dtype=np.float32)
+        tilt = [-0.9, 0.0, 0.9][i % 3]       # down / level / up
+        target = pos * 2.5
+        target[2] = pos[2] + tilt
+        R_rub = lookat_rotation(pos, target)
+        T = np.eye(4, dtype=np.float32)
+        T[:3, :3] = R_rub @ np.diag([1.0, -1.0, -1.0])  # RUB -> RDF
+        T[:3, 3] = pos
+        poses.append(T)
+    return poses
+
+
+@pytest.mark.slow
+def test_passive_mapping_reconstructs_room():
+    cfg = quality_cfg()
+    sim = init_simulator(cfg)
+    mapper = Mapper(cfg)
+
+    poses = orbit_poses(15)
+    n_frames = 75
+    for i in range(n_frames):
+        pose = poses[(i // 2) % len(poses)]
+        color, depth = sim.simulate(pose)
+        mapper.update_step(i)
+        mapper.online_recon_step(i, np.asarray(color), np.asarray(depth),
+                                 pose)
+
+    # ground truth mesh from the analytic SDF
+    gt_sdf = sim.gt_occupancy_volume(voxel_size=0.04)
+    gt_v_vox, gt_f = marching_cubes(gt_sdf, truncation=1e9)
+    bound = np.asarray(BOUND)
+    gt_v = gt_v_vox * 0.04 + bound[:, 0]
+
+    rec_v, rec_f, _ = extract_mesh(mapper, voxel_size=0.04,
+                                   color_mode="none")
+    assert len(rec_v) > 500, "reconstruction produced almost no surface"
+
+    m = eval_mesh(rec_v, rec_f, gt_v, gt_f, n_samples=30_000)
+    # sanity thresholds for a 60-frame low-res run on a 3x3x2m room
+    assert m["accuracy_cm"] < 12.0, m
+    assert m["completion_cm"] < 20.0, m
+    assert m["completion_ratio_pct"] > 40.0, m
+
+    mad = eval_mad(mapper, gt_v, gt_f, n_samples=20_000)
+    assert mad < 15.0, f"MAD {mad} cm"
+
+    # uncertainty decreased for observed regions: volume uncertainty should
+    # not be the init value everywhere
+    u, s = mapper.get_map_volumes()
+    assert (u < 3.0).mean() > 0.5
