@@ -56,11 +56,17 @@ class CamConfig:
 
 @dataclass
 class GridConfig:
-    # ref: replica_coslam.yaml grid section; tcnn HashGrid hyperparameters
+    # ref: replica_coslam.yaml grid section (tcnn HashGrid: 16 levels x 2
+    # features). The TPU-fast default keeps the same 32-dim output and total
+    # capacity but splits it as 4 levels x 8 features with bf16 gathers: TPU
+    # gather/sort costs scale with random-access row count, and L4F8+bf16
+    # cuts the hot-loop cost ~3x (see ops/encoding.py). Set (16, 2,
+    # "float32") to reproduce the reference hyperparameters exactly.
     enc: str = "HashGrid"
     hash_size: int = 16             # log2 of table entries per level
-    n_levels: int = 16
-    n_features_per_level: int = 2
+    n_levels: int = 4
+    n_features_per_level: int = 8
+    table_dtype: str = "bfloat16"
     base_resolution: int = 16
     voxel_sdf: float = 0.02         # finest resolution = max bbox len / this
     voxel_color: float = 0.08

@@ -41,10 +41,11 @@ Params = Dict[str, object]
 @dataclass(frozen=True)
 class FieldSpec:
     bound: Tuple[Tuple[float, float], ...]  # scene AABB (meters), static
-    n_levels: int = 16
-    n_features: int = 2
+    n_levels: int = 4
+    n_features: int = 8
     log2_hashmap_size: int = 16
     base_resolution: int = 16
+    table_dtype: str = "bfloat16"
     voxel_sdf: float = 0.02
     pos_n_bins: int = 16
     geo_feat_dim: int = 15
@@ -55,6 +56,11 @@ class FieldSpec:
     uncert_grid: bool = True
     pred_uncert: bool = False
     uncert_voxel_size: float = 0.1
+    # whether query positions carry gradients (needed only when poses are
+    # optimized — tracking / BA pose optimization). When False the custom-VJP
+    # position-gradient paths (a 12M gather + einsum per iteration) are
+    # dead-code-eliminated by XLA.
+    diff_positions: bool = False
 
     @functools.cached_property
     def hash_spec(self) -> HashGridSpec:
@@ -62,7 +68,8 @@ class FieldSpec:
             np.asarray(self.bound), voxel_sdf=self.voxel_sdf,
             n_levels=self.n_levels, n_features=self.n_features,
             log2_table_size=self.log2_hashmap_size,
-            base_resolution=self.base_resolution)
+            base_resolution=self.base_resolution,
+            gather_dtype=self.table_dtype)
 
     @functools.cached_property
     def uncert_shape(self) -> Tuple[int, int, int]:
@@ -124,6 +131,8 @@ def query_uncert(params: Params, x01: jnp.ndarray,
 
 def query_geo(params: Params, x01: jnp.ndarray, spec: FieldSpec):
     """(sdf, geo_feat, raw_uncert) at normalized points x01 [N, 3]."""
+    if not spec.diff_positions:
+        x01 = jax.lax.stop_gradient(x01)
     h = hash_encode(params["table"], x01, spec.hash_spec)
     p = one_blob_encode(x01, spec.pos_n_bins)
     out = mlp_apply(params["sdf_mlp"], jnp.concatenate([h, p], axis=-1))

@@ -128,6 +128,7 @@ class Mapper:
             n_features=cfg.grid.n_features_per_level,
             log2_hashmap_size=cfg.grid.hash_size,
             base_resolution=cfg.grid.base_resolution,
+            table_dtype=cfg.grid.table_dtype,
             voxel_sdf=cfg.grid.voxel_sdf,
             pos_n_bins=cfg.grid.pos_n_bins,
             geo_feat_dim=cfg.decoder.geo_feat_dim,
@@ -138,6 +139,7 @@ class Mapper:
             uncert_grid=cfg.decoder.uncert_grid,
             pred_uncert=cfg.decoder.pred_uncert,
             uncert_voxel_size=m.voxel_size,
+            diff_positions=m.tracking_enable,
         )
         self.rc = RenderConfig(
             near=c.near, far=c.far, n_range_d=t.n_range_d, range_d=t.range_d,
