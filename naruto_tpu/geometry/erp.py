@@ -164,6 +164,27 @@ def c2e(faces: jnp.ndarray, out_h: int, out_w: int) -> jnp.ndarray:
     return jnp.take_along_axis(sampled, best[None, ...], axis=0)[0]
 
 
+def p2e_with_pose(persp: jnp.ndarray, R: jnp.ndarray, out_h: int,
+                  out_w: int, fx: float, fy: float, cx: float, cy: float,
+                  fill: float = 0.0) -> jnp.ndarray:
+    """Project a perspective image into an ERP panorama at rotation R
+    (ref P2E_w_pose, erp_conversions.py:84-182): for each ERP pixel, rotate
+    its ray into the camera frame, project through the pinhole intrinsics,
+    and bilinearly sample where it lands inside the image; elsewhere
+    `fill`."""
+    dirs = erp_ray_dirs(out_h, out_w)                       # [H, W, 3] world
+    d_cam = dirs @ jnp.asarray(R)                           # R^T d (R c2w)
+    z = d_cam[..., 2]
+    u = d_cam[..., 0] / jnp.where(z > 1e-6, z, 1.0) * fx + cx
+    v = d_cam[..., 1] / jnp.where(z > 1e-6, z, 1.0) * fy + cy
+    H, W = persp.shape[0], persp.shape[1]
+    inside = (z > 1e-6) & (u >= 0) & (u <= W - 1) & (v >= 0) & (v <= H - 1)
+    sampled = bilinear_sample_2d(persp, v, u)
+    if persp.ndim == 3:
+        return jnp.where(inside[..., None], sampled, fill)
+    return jnp.where(inside, sampled, fill)
+
+
 def erp_depth_to_dist(erp_depth: jnp.ndarray, face_hw: int = 256,
                       invalid_value: float = 1e8) -> jnp.ndarray:
     """ERP plane depth -> ERP radial distance via the skybox pipeline

@@ -32,7 +32,11 @@ HIT_EPS = 2e-3
 
 
 def make_scene_sdf(bound: np.ndarray, preset: str = "box_room"):
-    """Returns sdf(p)->[N] (positive in free space) and color(p)->[N,3]."""
+    """Returns sdf(p)->[N] (positive in free space) and color(p)->[N,3].
+
+    preset 'dynamic_room' adds a sphere orbiting the room center with phase
+    `t` — the analytic counterpart of habitat's dynamic rigid objects
+    (ref habitat_utils.py:342-426)."""
     lo = jnp.asarray(bound[:, 0] + WALL_MARGIN)
     hi = jnp.asarray(bound[:, 1] - WALL_MARGIN)
     center = (lo + hi) / 2.0
@@ -45,8 +49,9 @@ def make_scene_sdf(bound: np.ndarray, preset: str = "box_room"):
     s2_r = float(jnp.min(size)) * 0.16
     box_c = center + size * jnp.asarray([0.0, 0.28, -0.3])
     box_h = size * jnp.asarray([0.10, 0.08, 0.12])
+    orbit_r = float(np.min(np.asarray(size))) * 0.25
 
-    def sdf(p: jnp.ndarray) -> jnp.ndarray:
+    def sdf(p: jnp.ndarray, t: jnp.ndarray = 0.0) -> jnp.ndarray:
         room = jnp.min(jnp.minimum(p - lo, hi - p), axis=-1)
         if preset == "empty_room":
             return room
@@ -55,7 +60,13 @@ def make_scene_sdf(bound: np.ndarray, preset: str = "box_room"):
         q = jnp.abs(p - box_c) - box_h
         box = (jnp.linalg.norm(jnp.maximum(q, 0.0), axis=-1)
                + jnp.minimum(jnp.max(q, axis=-1), 0.0))
-        return jnp.minimum(jnp.minimum(room, s1), jnp.minimum(s2, box))
+        static = jnp.minimum(jnp.minimum(room, s1), jnp.minimum(s2, box))
+        if preset == "dynamic_room":
+            dyn_c = center + jnp.stack([
+                orbit_r * jnp.cos(t), orbit_r * jnp.sin(t), 0.0])
+            dyn = jnp.linalg.norm(p - dyn_c, axis=-1) - s1_r * 0.8
+            return jnp.minimum(static, dyn)
+        return static
 
     def color(p: jnp.ndarray) -> jnp.ndarray:
         k = 2.0 * jnp.pi / jnp.maximum(size, 1e-3)
@@ -105,13 +116,13 @@ class AnalyticSimulator(Simulator):
         self._render_pin = jax.jit(self._render_pin_impl)
         self._render_erp = jax.jit(self._render_erp_impl)
 
-    def _render_pin_impl(self, c2w: jnp.ndarray):
+    def _render_pin_impl(self, c2w: jnp.ndarray, phase: jnp.ndarray):
         R, tvec = c2w[:3, :3], c2w[:3, 3]
         d_cam = self._pin_dirs                       # unit-z RDF dirs
         norm = jnp.linalg.norm(d_cam, axis=-1, keepdims=True)
         d_unit = (d_cam / norm) @ R.T
         o = jnp.broadcast_to(tvec, d_unit.shape)
-        t, hit = _trace(self.sdf, o, d_unit, self.max_t)
+        t, hit = _trace(lambda q: self.sdf(q, phase), o, d_unit, self.max_t)
         p = o + d_unit * t[:, None]
         color = self.color_fn(p)
         z_depth = t / norm[:, 0]                     # radial -> z-depth
@@ -119,11 +130,11 @@ class AnalyticSimulator(Simulator):
         H, W = self._pin_hw
         return color.reshape(H, W, 3), z_depth.reshape(H, W)
 
-    def _render_erp_impl(self, c2w: jnp.ndarray):
+    def _render_erp_impl(self, c2w: jnp.ndarray, phase: jnp.ndarray):
         R, tvec = c2w[:3, :3], c2w[:3, 3]
         d_unit = self._erp_dirs @ R.T
         o = jnp.broadcast_to(tvec, d_unit.shape)
-        t, hit = _trace(self.sdf, o, d_unit, self.max_t)
+        t, hit = _trace(lambda q: self.sdf(q, phase), o, d_unit, self.max_t)
         p = o + d_unit * t[:, None]
         color = self.color_fn(p)
         dist = jnp.where(hit, t, self.invalid)       # radial distance
@@ -132,10 +143,11 @@ class AnalyticSimulator(Simulator):
 
     def simulate(self, c2w, return_erp: bool = False):
         c2w = jnp.asarray(np.asarray(c2w, dtype=np.float32))
-        color, depth = self._render_pin(c2w)
+        phase = jnp.float32(self.step * 0.1)  # dynamic-object orbit phase
+        color, depth = self._render_pin(c2w, phase)
         if not return_erp:
             return color, depth
-        erp_color, erp_dist = self._render_erp(c2w)
+        erp_color, erp_dist = self._render_erp(c2w, phase)
         return color, depth, erp_color, erp_dist
 
     # ------------------------------------------------ ground-truth helpers

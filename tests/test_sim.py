@@ -147,3 +147,18 @@ class TestEngineSmoke:
         files = os.listdir(tmp_path)
         assert any(f.endswith("_final.ply") for f in files)
         assert any(f.endswith("_final.pkl") for f in files)
+
+
+class TestDynamicScene:
+    def test_dynamic_object_moves(self):
+        cfg = deep_update(sim_cfg(), {"sim": {"analytic_scene":
+                                              "dynamic_room"}})
+        sim = init_simulator(cfg)
+        c2w = np.eye(4, dtype=np.float32)
+        c2w[2, 3] = -0.7  # look across the orbit circle at room center
+        sim.update_step(0)
+        _, d0 = sim.simulate(c2w)
+        sim.update_step(20)
+        _, d1 = sim.simulate(c2w)
+        # the orbiting sphere changes the depth image between steps
+        assert float(np.abs(np.asarray(d0) - np.asarray(d1)).max()) > 0.05
