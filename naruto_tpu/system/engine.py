@@ -111,4 +111,27 @@ class Engine:
             voxel_size=cfg.mesh.voxel_final)
         self.mapper.save_ckpt(os.path.join(
             out, f"ckpt_{cfg.general.num_iter:04d}_final.pkl"))
+
+        # trajectory length into the run's results file (ref
+        # eval_traj_length + update_results_file contract)
+        from naruto_tpu.evaluation import eval_traj_length
+        from naruto_tpu.utils.results import update_results_file
+
+        n = min(cfg.general.num_iter, self.mapper.state.poses.shape[0])
+        traj_len = eval_traj_length(np.asarray(self.mapper.state.poses[:n]))
+        update_results_file({"traj_length_m": traj_len},
+                            os.path.join(out, "eval_result.txt"))
+
+        # asset-free runs: export the analytic scene's exact GT mesh so the
+        # recon metrics can be computed without external data
+        if hasattr(self.sim, "gt_occupancy_volume"):
+            from naruto_tpu.mesh.marching import marching_cubes
+            from naruto_tpu.mesh.ply import write_ply
+
+            vs = cfg.mesh.voxel_eval
+            gt_sdf = self.sim.gt_occupancy_volume(vs)
+            v_vox, f = marching_cubes(gt_sdf, truncation=1e9)
+            bound = cfg.mapper.bound_np
+            write_ply(os.path.join(out, "gt_mesh.ply"),
+                      v_vox * vs + bound[:, 0], f)
         self.timer.time_analysis()
