@@ -55,7 +55,9 @@ from naruto_tpu.mapping.losses import LossWeights, total_loss
 from naruto_tpu.mapping.render import RenderConfig, render_rays
 from naruto_tpu.utils.printer import InfoPrinter
 
-CUR_BUCKETS = (512, 1024, 2048, 4096, 8192)
+# padded current-ray block sizes; few buckets = few compiled BA variants
+# (compiles dominate cost on this backend), small steady-state waste
+CUR_BUCKETS = (512, 2048, 8192)
 
 MAP_PARAM_KEYS = ("table", "sdf_mlp", "color_mlp")
 

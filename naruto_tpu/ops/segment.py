@@ -41,17 +41,35 @@ def _merge_ranks(sorted_keys: jnp.ndarray, size: int) -> jnp.ndarray:
 
 
 def dense_segment_sum(indices: jnp.ndarray, values: jnp.ndarray,
-                      size: int) -> jnp.ndarray:
+                      size: int, pack_bf16: bool = True) -> jnp.ndarray:
     """indices: [M] int32 in [0, size); values: [M, F].
-    Returns [size, F] with out[s] = sum of values where indices == s."""
+    Returns [size, F] with out[s] = sum of values where indices == s.
+
+    pack_bf16: carry value columns through the sort as bf16 PAIRS bitcast
+    into int32 operands — halves the dominant variadic-sort payload width.
+    Individual updates get bf16-rounded (~0.4% relative) before the fp32
+    prefix sum; gradient-noise dominated training is insensitive to this
+    (flip off for exact accumulation).
+    """
     f = values.shape[1]
-    ops = (indices.astype(jnp.int32),) + tuple(
-        values[:, j] for j in range(f))
-    sorted_ops = jax.lax.sort(ops, num_keys=1)
-    si = sorted_ops[0]
-    sv = jnp.stack(sorted_ops[1:], axis=-1)             # [M, F] sorted
+    if pack_bf16 and f % 2 == 0:
+        v16 = values.astype(jnp.bfloat16).reshape(-1, f // 2, 2)
+        packed = v16.view(jnp.int32)[..., 0]             # [M, F//2]
+        ops = (indices.astype(jnp.int32),) + tuple(
+            packed[:, j] for j in range(f // 2))
+        sorted_ops = jax.lax.sort(ops, num_keys=1)
+        si = sorted_ops[0]
+        sp = jnp.stack(sorted_ops[1:], axis=-1)          # [M, F//2] int32
+        sv = sp[..., None].view(jnp.bfloat16).reshape(-1, f)
+        sv = sv.astype(values.dtype)
+    else:
+        ops = (indices.astype(jnp.int32),) + tuple(
+            values[:, j] for j in range(f))
+        sorted_ops = jax.lax.sort(ops, num_keys=1)
+        si = sorted_ops[0]
+        sv = jnp.stack(sorted_ops[1:], axis=-1)          # [M, F] sorted
     cs = jnp.concatenate(
         [jnp.zeros((1, f), values.dtype), jnp.cumsum(sv, axis=0)], axis=0)
-    ub = _merge_ranks(si, size)                         # keys <= t
+    ub = _merge_ranks(si, size)                          # keys <= t
     lb = jnp.concatenate([jnp.zeros((1,), ub.dtype), ub[:-1]])
     return cs[ub] - cs[lb]

@@ -9,14 +9,26 @@ from naruto_tpu.ops.segment import dense_segment_sum
 
 
 class TestSegmentSum:
-    def test_matches_scatter(self, rng):
+    def test_matches_scatter_exact(self, rng):
         size = 100
         idx = jnp.asarray(rng.integers(0, size, 5000), dtype=jnp.int32)
         vals = jnp.asarray(rng.normal(size=(5000, 2)).astype(np.float32))
-        out = dense_segment_sum(idx, vals, size)
+        out = dense_segment_sum(idx, vals, size, pack_bf16=False)
         ref = np.zeros((size, 2), np.float32)
         np.add.at(ref, np.asarray(idx), np.asarray(vals))
         np.testing.assert_allclose(np.asarray(out), ref, rtol=1e-4, atol=1e-4)
+
+    def test_matches_scatter_packed(self, rng):
+        """Default bf16-packed payload path: ~0.4% per-update rounding."""
+        size = 100
+        idx = jnp.asarray(rng.integers(0, size, 5000), dtype=jnp.int32)
+        vals = jnp.asarray(rng.normal(size=(5000, 2)).astype(np.float32))
+        out = dense_segment_sum(idx, vals, size, pack_bf16=True)
+        ref = np.zeros((size, 2), np.float32)
+        np.add.at(ref, np.asarray(idx), np.asarray(vals))
+        scale = np.abs(ref).max()
+        np.testing.assert_allclose(np.asarray(out) / scale, ref / scale,
+                                   atol=5e-3)
 
     def test_empty_slots_zero(self):
         idx = jnp.asarray([3, 3, 7], dtype=jnp.int32)
@@ -49,8 +61,10 @@ class TestHashEncodeVJP:
         (ref_gt,) = ref_vjp(g)
         _, vjp = jax.vjp(lambda t: hash_encode(t, x, spec), table)
         (gt,) = vjp(g)
-        np.testing.assert_allclose(np.asarray(gt), np.asarray(ref_gt),
-                                   rtol=1e-4, atol=1e-6)
+        # default path packs sort payloads as bf16 (~0.4% per update)
+        scale = float(np.abs(np.asarray(ref_gt)).max()) + 1e-12
+        np.testing.assert_allclose(np.asarray(gt) / scale,
+                                   np.asarray(ref_gt) / scale, atol=6e-3)
 
     def test_input_grad_finite_difference(self, rng):
         spec = HashGridSpec(n_levels=2, log2_table_size=10,
