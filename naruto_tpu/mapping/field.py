@@ -155,6 +155,33 @@ def field_query(params: Params, x01: jnp.ndarray,
         [rgb, sdf[:, None], uncert[:, None]], axis=-1)
 
 
+def field_query_plus_embed(params: Params, x01: jnp.ndarray,
+                           x01_extra: jnp.ndarray, spec: FieldSpec):
+    """Full raw query on x01 plus hash embeddings at x01_extra, sharing ONE
+    hash encode (and hence one backward segment-sum) for both point sets —
+    the smoothness regularizer rides along with the render batch."""
+    if not spec.diff_positions:
+        x01 = jax.lax.stop_gradient(x01)
+        x01_extra = jax.lax.stop_gradient(x01_extra)
+    n = x01.shape[0]
+    both = jnp.concatenate([x01, x01_extra], axis=0)
+    h_all = hash_encode(params["table"], both, spec.hash_spec)
+    h, h_extra = h_all[:n], h_all[n:]
+
+    p = one_blob_encode(x01, spec.pos_n_bins)
+    out = mlp_apply(params["sdf_mlp"], jnp.concatenate([h, p], axis=-1))
+    sdf = out[:, 0]
+    if spec.pred_uncert:
+        geo, uncert = out[:, 1:-1], out[:, -1]
+    else:
+        geo = out[:, 1:]
+        uncert = (query_uncert(params, x01, spec) if spec.uncert_grid
+                  else jnp.zeros_like(sdf))
+    rgb = mlp_apply(params["color_mlp"], jnp.concatenate([p, geo], axis=-1))
+    raw = jnp.concatenate([rgb, sdf[:, None], uncert[:, None]], axis=-1)
+    return raw, h_extra
+
+
 def query_sdf(params: Params, x01: jnp.ndarray, spec: FieldSpec,
               with_uncert: bool = False):
     """SDF (and optionally raw uncertainty) — the universal field-query API

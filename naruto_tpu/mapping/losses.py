@@ -99,6 +99,38 @@ def uncert_loss(rend: Dict, target_d, valid_mask, lw: LossWeights):
     return nll + log_term
 
 
+def smoothness_points(spec: FieldSpec, key, lw: LossWeights):
+    """Random sub-grid points (normalized) for the smoothness regularizer —
+    generated separately so the embedding query can ride the render batch
+    (one shared backward segment-sum)."""
+    n = lw.smooth_pts - 1
+    bound = jnp.asarray(spec.bound_np)
+    extent = bound[:, 1] - bound[:, 0]
+    grid_size = n * lw.smooth_vox
+    k1, k2 = jax.random.split(key)
+    offset_max = jnp.maximum(extent - grid_size - 2 * lw.smooth_margin, 0.0)
+    offset = jax.random.uniform(k1, (3,)) * offset_max + lw.smooth_margin
+    coords = jnp.stack(jnp.meshgrid(
+        jnp.arange(n, dtype=jnp.float32),
+        jnp.arange(n, dtype=jnp.float32),
+        jnp.arange(n, dtype=jnp.float32), indexing="ij"), axis=-1)
+    jitter = jax.random.uniform(k2, (1, 1, 1, 3))
+    pts = (coords + jitter) * lw.smooth_vox + bound[:, 0] + offset
+    x01 = ((pts - bound[:, 0]) / extent).reshape(-1, 3)
+    return x01, n
+
+
+def smoothness_tv(embed: jnp.ndarray, n: int, lw: LossWeights):
+    """TV^2 over embeddings on the [n,n,n] sub-grid (upstream
+    CoSLAM.smoothness contract: sum of squared axis differences divided by
+    smooth_pts^3)."""
+    emb = embed.reshape(n, n, n, -1)
+    tv = (jnp.sum(jnp.square(emb[1:] - emb[:-1]))
+          + jnp.sum(jnp.square(emb[:, 1:] - emb[:, :-1]))
+          + jnp.sum(jnp.square(emb[:, :, 1:] - emb[:, :, :-1])))
+    return tv / (lw.smooth_pts ** 3)
+
+
 def smoothness_loss(params, spec: FieldSpec, key, lw: LossWeights):
     """TV^2 of hash embeddings on a random sub-grid."""
     n = lw.smooth_pts - 1
@@ -139,7 +171,10 @@ def total_loss(params, spec: FieldSpec, rend: Dict, target_rgb, target_d,
         loss = loss + lw.uncert * u_l
         aux["uncert_loss"] = u_l
     if with_smooth and lw.smooth > 0:
-        s_l = smoothness_loss(params, spec, key, lw)
+        if "extra_embed" in rend:
+            s_l = smoothness_tv(rend["extra_embed"], lw.smooth_pts - 1, lw)
+        else:
+            s_l = smoothness_loss(params, spec, key, lw)
         loss = loss + lw.smooth * s_l
         aux["smooth_loss"] = s_l
     aux["total"] = loss

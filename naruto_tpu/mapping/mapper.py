@@ -227,8 +227,12 @@ class Mapper:
     def _loss_fn(self, params, key, rays_o, rays_d, target_rgb, target_d,
                  ray_mask, with_smooth):
         k_render, k_smooth = jax.random.split(key)
+        extra = None
+        if with_smooth and self.lw.smooth > 0:
+            from naruto_tpu.mapping.losses import smoothness_points
+            extra, _ = smoothness_points(self.spec, k_smooth, self.lw)
         rend = render_rays(params, self.spec, self.rc, k_render,
-                           rays_o, rays_d, target_d)
+                           rays_o, rays_d, target_d, extra_pts01=extra)
         loss, aux = total_loss(params, self.spec, rend, target_rgb, target_d,
                                ray_mask, k_smooth, self.lw,
                                with_smooth=with_smooth)

@@ -80,19 +80,30 @@ def sdf2weights(sdf: jnp.ndarray, z_vals: jnp.ndarray,
 
 def render_rays(params, spec: FieldSpec, rc: RenderConfig, key,
                 rays_o: jnp.ndarray, rays_d: jnp.ndarray,
-                target_d: jnp.ndarray) -> Dict[str, jnp.ndarray]:
+                target_d: jnp.ndarray,
+                extra_pts01: jnp.ndarray | None = None
+                ) -> Dict[str, jnp.ndarray]:
     """rays_o/d: [N,3] world; target_d: [N,1].
 
     Returns rendered maps + raw field outputs (for SDF losses), flattening
     [N, S] points into one [N*S] batch so the tiny MLPs see a single large
-    MXU-friendly matmul.
+    MXU-friendly matmul. `extra_pts01` (normalized) piggybacks extra hash-
+    embedding queries (the smoothness regularizer) on the same encode so
+    the backward runs ONE segment-sum; returned as "extra_embed".
     """
     n = rays_o.shape[0]
     z_vals = sample_z_vals(key, target_d, rc)                 # [N, S]
     s = z_vals.shape[-1]
     pts = rays_o[:, None, :] + rays_d[:, None, :] * z_vals[..., None]
     x01 = normalize_world(pts.reshape(-1, 3), spec)
-    raw = field_query(params, x01, spec).reshape(n, s, 5)
+    extra_embed = None
+    if extra_pts01 is not None:
+        from naruto_tpu.mapping.field import field_query_plus_embed
+        raw, extra_embed = field_query_plus_embed(params, x01, extra_pts01,
+                                                  spec)
+        raw = raw.reshape(n, s, 5)
+    else:
+        raw = field_query(params, x01, spec).reshape(n, s, 5)
 
     rgb = jax.nn.sigmoid(raw[..., :3])
     sdf = raw[..., 3]
@@ -112,4 +123,6 @@ def render_rays(params, spec: FieldSpec, rc: RenderConfig, key,
     if spec.has_uncert:
         uncert = jax.nn.softplus(raw[..., 4]) + 0.01   # min uncertainty 0.01
         out["uncert_map"] = jnp.sum(weights * weights * uncert, axis=-1)
+    if extra_embed is not None:
+        out["extra_embed"] = extra_embed
     return out
