@@ -88,21 +88,36 @@ def mesh_evolution(run_dir: str, out_dir: str,
     return outs
 
 
-def make_video(run_dir: str, out_path: str, fps: int = 10) -> None:
-    """Tile per-step rgbd panels into an mp4 (naruto_video_maker parity)."""
+def make_video(run_dir: str, out_path: str, fps: int = 10,
+               mesh_stills_dir: Optional[str] = None) -> None:
+    """Tile per-step rgbd panels (optionally side-by-side with the latest
+    mesh-evolution still) into an mp4 (naruto_video_maker parity)."""
     import cv2
 
     frames = sorted(glob.glob(os.path.join(run_dir, "rgbd", "*.png")))
     if not frames:
         raise FileNotFoundError(f"no rgbd frames under {run_dir}/rgbd")
+    stills = (sorted(glob.glob(os.path.join(mesh_stills_dir, "*.png")))
+              if mesh_stills_dir else [])
     first = cv2.imread(frames[0])
     h, w = first.shape[:2]
+    out_w = w + (h if stills else 0)
     vw = cv2.VideoWriter(out_path, cv2.VideoWriter_fourcc(*"mp4v"), fps,
-                         (w, h))
-    for f in frames:
+                         (out_w, h))
+    si = 0
+    for i, f in enumerate(frames):
         img = cv2.imread(f)
-        if img is not None and img.shape[:2] == (h, w):
-            vw.write(img)
+        if img is None or img.shape[:2] != (h, w):
+            continue
+        if stills:
+            # advance to the newest mesh still at or before this frame
+            while si + 1 < len(stills) and \
+                    os.path.basename(stills[si + 1]) <= os.path.basename(f):
+                si += 1
+            mesh_img = cv2.imread(stills[si])
+            mesh_img = cv2.resize(mesh_img, (h, h))
+            img = np.concatenate([img, mesh_img], axis=1)
+        vw.write(img)
     vw.release()
 
 
