@@ -137,3 +137,31 @@ def test_pose_export_cli(tmp_path):
     out = str(tmp_path / "p.npy")
     export_pose.main(["--ckpt", ckpt, "--out", out, "--num", "3"])
     assert np.load(out).shape == (3, 4, 4)
+
+
+class TestRigs:
+    def test_orientations_are_rotations(self):
+        from naruto_tpu.sim.rigs import rig_orientations
+        for kind in ("mono", "skybox", "horizontal", "horizontal+UpDown"):
+            for name, R in rig_orientations(kind):
+                np.testing.assert_allclose(R @ R.T, np.eye(3), atol=1e-6)
+        assert len(rig_orientations("skybox")) == 6
+        assert len(rig_orientations("horizontal", 3)) == 3
+
+    def test_render_rig_views_differ(self, tmp_path):
+        from naruto_tpu.sim.rigs import render_rig
+        cfg = small_cfg(tmp_path)
+        sim = init_simulator(cfg)
+        views = render_rig(sim, np.eye(4), kind="skybox")
+        assert set(views) == {"front", "right", "back", "left", "up",
+                              "down"}
+        d_front = np.asarray(views["front"][1])
+        d_up = np.asarray(views["up"][1])
+        assert np.abs(d_front - d_up).max() > 0.05
+
+    def test_stereo_offsets(self, tmp_path):
+        from naruto_tpu.sim.rigs import render_rig
+        cfg = small_cfg(tmp_path)
+        sim = init_simulator(cfg)
+        views = render_rig(sim, np.eye(4), kind="mono", stereo_baseline=0.3)
+        assert set(views) == {"left_front", "right_front"}
