@@ -25,6 +25,8 @@ def parse_args(argv=None):
                    help="simulator backend override (analytic|replay|raycast)")
     p.add_argument("--scene_path", type=str, default=None,
                    help="scene asset path for replay/raycast backends")
+    p.add_argument("--platform", type=str, default=None,
+                   help="force jax platform (e.g. cpu) before any compute")
     return p.parse_args(argv)
 
 
@@ -53,6 +55,10 @@ def build_config(args):
 
 def main(argv=None):
     args = parse_args(argv)
+    if args.platform:
+        import jax
+
+        jax.config.update("jax_platforms", args.platform)
     cfg = build_config(args)
     from naruto_tpu.system.engine import Engine
 
