@@ -162,3 +162,41 @@ class TestDynamicScene:
         _, d1 = sim.simulate(c2w)
         # the orbiting sphere changes the depth image between steps
         assert float(np.abs(np.asarray(d0) - np.asarray(d1)).max()) > 0.05
+
+
+class TestDeterminism:
+    def test_same_seed_same_trajectory(self, tmp_path):
+        cfg = sim_cfg()
+        cfg = deep_update(cfg, {
+            "grid": {"n_levels": 4, "hash_size": 12, "voxel_sdf": 0.1},
+            "mapper": {"sample": 64, "iters": 2, "first_iters": 4,
+                       "min_pixels_cur": 4, "act_ray_num_uncert_sample": 8,
+                       "voxel_size": 0.25},
+            "training": {"n_samples_d": 8, "n_range_d": 5, "smooth_pts": 4},
+            "planner": {"gs_z_levels": [3, 4, 5]},
+            "general": {"result_dir": str(tmp_path)},
+        })
+        from naruto_tpu.system.engine import Engine
+
+        p1 = Engine(cfg, quiet=True).run(num_iter=10)
+        p2 = Engine(cfg, quiet=True).run(num_iter=10)
+        np.testing.assert_allclose(p1, p2, atol=1e-6)
+
+    def test_different_seed_diverges(self, tmp_path):
+        cfg = sim_cfg()
+        cfg = deep_update(cfg, {
+            "grid": {"n_levels": 4, "hash_size": 12, "voxel_sdf": 0.1},
+            "mapper": {"sample": 64, "iters": 2, "first_iters": 4,
+                       "min_pixels_cur": 4, "act_ray_num_uncert_sample": 8,
+                       "voxel_size": 0.25},
+            "training": {"n_samples_d": 8, "n_range_d": 5, "smooth_pts": 4},
+            "planner": {"gs_z_levels": [3, 4, 5]},
+            "general": {"result_dir": str(tmp_path)},
+        })
+        from naruto_tpu.system.engine import Engine
+
+        p1 = Engine(cfg, quiet=True).run(num_iter=10)
+        cfg2 = deep_update(cfg, {"general": {"seed": 123}})
+        p2 = Engine(cfg2, quiet=True).run(num_iter=10)
+        # trajectories should differ somewhere (field init + sampling differ)
+        assert not np.allclose(p1, p2, atol=1e-6)
