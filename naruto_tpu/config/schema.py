@@ -28,6 +28,9 @@ class GeneralConfig:
     num_iter: int = 2000            # ref: configs/default.py:11
     result_dir: str = "results"
     data_dir: str = "data"
+    # mid-run full-state checkpoint cadence (0 = final only; the reference
+    # checkpoints only at run end — SURVEY.md §5.4)
+    ckpt_freq: int = 0
 
 
 @dataclass

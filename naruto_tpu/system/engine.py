@@ -97,6 +97,11 @@ class Engine:
                         self.uncert_sdf = new_vols
                     c2w = self.planner.main(
                         self.uncert_sdf, np.asarray(c2w), new_vols is not None)
+
+            if cfg.general.ckpt_freq and i > 0 and i % cfg.general.ckpt_freq == 0:
+                self.mapper.save_full_state(os.path.join(
+                    cfg.general.result_dir, cfg.general.dataset,
+                    cfg.general.scene, "full_state_latest.pkl"))
         return np.asarray(c2w)
 
     def finalize(self, result_dir: Optional[str] = None) -> None:
