@@ -203,6 +203,23 @@ class Mapper:
         self._ba_jits: Dict[int, callable] = {}
         self._ff_jit = jax.jit(self._first_frame_impl, donate_argnums=(0,))
         self._track_jit = jax.jit(self._tracking_impl)
+
+        # optional multi-device dense-volume query (rays/voxels sharded on a
+        # 'data' mesh axis — SURVEY.md §5.7); volumes pad to the device count
+        self._sharded_vol = None
+        if cfg.parallel.shard_volumes and len(jax.devices()) > 1:
+            from naruto_tpu.parallel import (
+                data_sharding, make_mesh, replicated, sharded_volume_query,
+            )
+            mesh = make_mesh()
+            self._vol_mesh = mesh
+            self._vol_data = data_sharding(mesh)
+            self._vol_repl = replicated(mesh)
+            self._sharded_vol = sharded_volume_query(mesh, self.spec)
+            n = self.grid01.shape[0]
+            pad = (-n) % len(mesh.devices.flat)
+            self._grid01_padded = jnp.concatenate(
+                [self.grid01, jnp.zeros((pad, 3))]) if pad else self.grid01
         self._vol_jit = jax.jit(self._volumes_impl)
         self._sdf_query_jit = jax.jit(
             lambda params, x01: query_sdf(params, x01, self.spec,
@@ -581,8 +598,16 @@ class Mapper:
                 sdf.reshape(self.vol_shape))
 
     def get_map_volumes(self) -> Tuple[np.ndarray, np.ndarray]:
-        u, s = self._vol_jit(self.state.params)
-        self.state = self.state._replace(uncert_vol=u)
+        if self._sharded_vol is not None:
+            n = self.grid01.shape[0]
+            sdf, um = self._sharded_vol(
+                jax.device_put(self.state.params, self._vol_repl),
+                jax.device_put(self._grid01_padded, self._vol_data))
+            u = jnp.asarray(um)[:n].reshape(self.vol_shape)
+            s = jnp.asarray(sdf)[:n].reshape(self.vol_shape)
+        else:
+            u, s = self._vol_jit(self.state.params)
+        self.state = self.state._replace(uncert_vol=jnp.asarray(u))
         return np.asarray(u), np.asarray(s)
 
     # --------------------------------------------------------------- meshes

@@ -89,3 +89,33 @@ def test_graft_entry_contract():
     out = jax.jit(fn)(*args)
     assert out[0].shape == (512, 3)
     mod.dryrun_multichip(8)
+
+
+def test_mapper_sharded_volumes():
+    """Mapper with parallel.shard_volumes on the 8-device CPU mesh matches
+    the single-device volume query."""
+    from naruto_tpu.config.schema import deep_update
+    from naruto_tpu.config import make_config
+    from naruto_tpu.mapping.mapper import Mapper
+
+    base = make_config("Replica", "office0", num_iter=20)
+    over = {
+        "cam": {"H": 24, "W": 32, "fx": 20.0, "fy": 20.0, "cx": 15.5,
+                "cy": 11.5},
+        "grid": {"n_levels": 4, "hash_size": 12, "voxel_sdf": 0.1},
+        "mapper": {"sample": 64, "iters": 2, "first_iters": 4,
+                   "min_pixels_cur": 4, "act_ray_num_uncert_sample": 8,
+                   "bound": ((-1, 1), (-1, 1), (-1, 1)),
+                   "marching_cubes_bound": ((-1, 1), (-1, 1), (-1, 1)),
+                   "voxel_size": 0.25},
+        "training": {"n_samples_d": 8, "n_range_d": 5, "smooth_pts": 4},
+    }
+    cfg1 = deep_update(base, over)
+    cfg2 = deep_update(cfg1, {"parallel": {"shard_volumes": True}})
+    m1, m2 = Mapper(cfg1), Mapper(cfg2)
+    assert m2._sharded_vol is not None
+    m2.state = m2.state._replace(params=m1.state.params)
+    u1, s1 = m1.get_map_volumes()
+    u2, s2 = m2.get_map_volumes()
+    np.testing.assert_allclose(u1, u2, rtol=1e-5, atol=1e-6)
+    np.testing.assert_allclose(s1, s2, rtol=1e-5, atol=1e-6)
