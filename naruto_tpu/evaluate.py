@@ -49,6 +49,8 @@ def main(argv=None):
         mapper = Mapper(cfg)
         mapper.load_ckpt(args.ckpt)
         poses = np.asarray(mapper.state.poses)
+        if mapper.step > 0:           # drop unused trailing identity poses
+            poses = poses[:mapper.step + 1]
         results["traj_length_m"] = eval_traj_length(poses)
         if args.cull:
             rec_v, rec_f = cull_mesh(
