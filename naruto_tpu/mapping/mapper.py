@@ -161,8 +161,10 @@ class Mapper:
             get_camera_rays(self.H, self.W, self.fx, self.fy, self.cx,
                             self.cy).reshape(-1, 3))
 
-        num_frames = cfg.general.num_iter
-        self.num_kf = num_frames // m.keyframe_every + 1
+        # buffer capacities round up to coarse quanta so different run
+        # lengths share compiled graphs (shapes enter every jitted program)
+        num_frames = -(-cfg.general.num_iter // 1000) * 1000
+        self.num_kf = -(-(num_frames // m.keyframe_every + 1) // 256) * 256
         self.rays_per_kf = max(int(self.H * self.W * m.n_pixels), 1)
 
         self.vol_shape = volume_shape(m.bound_np, m.voxel_size)

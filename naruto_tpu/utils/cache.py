@@ -21,5 +21,11 @@ def enable_compilation_cache(path: str | None = None) -> None:
         jax.config.update("jax_compilation_cache_dir", cache_dir)
         jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
         jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
+        # source locations embedded in the HLO make the cache key shift with
+        # every unrelated code edit; strip them so entries survive edits
+        jax.config.update("jax_include_full_tracebacks_in_locations", False)
+        jax.config.update("jax_traceback_in_locations_limit", 0)
+        if os.environ.get("NARUTO_TPU_EXPLAIN_CACHE"):
+            jax.config.update("jax_explain_cache_misses", True)
     except Exception:
         pass  # older jax without these flags
