@@ -61,9 +61,14 @@ def generate_motion_profile(profile: str, n_frames: int,
 
 def run_scripted_simulation(sim, poses: List[np.ndarray], out_dir: str,
                             save_video: bool = False,
-                            depth_scale: float = 6553.5) -> None:
+                            depth_scale: float = 6553.5,
+                            pose_format: str = "replica") -> None:
     """Render every pose and save frames/poses/K in the Replica-SLAM layout
-    consumed by ReplaySimulator (frame%06d.jpg / depth%06d.png / traj.txt)."""
+    consumed by ReplaySimulator (frame%06d.jpg / depth%06d.png / traj.txt).
+
+    pose_format 'replica' writes traj.txt rows in the Replica convention
+    (RUB — PoseLoader flips columns 1,2 back on load); 'raw' writes the RDF
+    poses verbatim (MP3D convention)."""
     import cv2
 
     res = os.path.join(out_dir, "results")
@@ -83,7 +88,11 @@ def run_scripted_simulation(sim, poses: List[np.ndarray], out_dir: str,
             frames.append(bgr)
     with open(os.path.join(out_dir, "traj.txt"), "w") as f:
         for c2w in poses:
-            f.write(" ".join(f"{x:.8f}" for x in np.asarray(c2w).reshape(-1))
+            out_pose = np.asarray(c2w, dtype=np.float64).copy()
+            if pose_format == "replica":
+                out_pose[:3, 1] *= -1    # RDF -> RUB columns (involution)
+                out_pose[:3, 2] *= -1
+            f.write(" ".join(f"{x:.8f}" for x in out_pose.reshape(-1))
                     + "\n")
     if save_video and frames:
         h, w = frames[0].shape[:2]

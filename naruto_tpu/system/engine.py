@@ -72,6 +72,16 @@ class Engine:
         n = num_iter if num_iter is not None else cfg.general.num_iter
         c2w = self._init_pose()
 
+        # passive mode: frame i+1's pose is known -> double-buffered
+        # host->HBM streaming (BASELINE north star; impossible in active
+        # mode where the pose depends on this step's planner output)
+        prefetcher = None
+        if not cfg.enable_active_planning and self.pose_loader.traj:
+            from naruto_tpu.sim.prefetch import FramePrefetcher
+
+            prefetcher = FramePrefetcher(
+                self.sim, lambda s: self.pose_loader.traj[s])
+
         for i in range(n):
             for mod in (self.sim, self.mapper, self.planner):
                 mod.update_step(i)
@@ -81,7 +91,10 @@ class Engine:
             c2w = self.pose_loader.update_pose(c2w, i)
 
             with self.timer.time("Simulation", "General"):
-                color, depth = self.sim.simulate(c2w)[:2]
+                if prefetcher is not None:
+                    color, depth = prefetcher.get(i)
+                else:
+                    color, depth = self.sim.simulate(c2w)[:2]
 
             with self.timer.time("SLAM", "General"):
                 new_vols = self.mapper.online_recon_step(
@@ -102,6 +115,8 @@ class Engine:
                 self.mapper.save_full_state(os.path.join(
                     cfg.general.result_dir, cfg.general.dataset,
                     cfg.general.scene, "full_state_latest.pkl"))
+        if prefetcher is not None:
+            prefetcher.close()
         return np.asarray(c2w)
 
     def finalize(self, result_dir: Optional[str] = None) -> None:

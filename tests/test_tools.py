@@ -165,3 +165,34 @@ class TestRigs:
         sim = init_simulator(cfg)
         views = render_rig(sim, np.eye(4), kind="mono", stereo_baseline=0.3)
         assert set(views) == {"left_front", "right_front"}
+
+
+class TestPassivePrefetch:
+    def test_passive_mapping_with_prefetch(self, tmp_path):
+        """Export a short scripted trajectory, then run the engine in
+        PASSIVE mode (replay + double-buffered prefetch) over it."""
+        cfg = small_cfg(tmp_path)
+        sim = init_simulator(cfg)
+        poses = generate_motion_profile("stationary", 8,
+                                        np.eye(4, dtype=np.float32))
+        data_dir = str(tmp_path / "data")
+        run_scripted_simulation(sim, poses, data_dir)
+
+        cfg2 = deep_update(cfg, {
+            "sim": {"method": "replay", "scene_path": data_dir},
+            "grid": {"n_levels": 4, "hash_size": 12, "voxel_sdf": 0.1},
+            "mapper": {"sample": 64, "iters": 2, "first_iters": 4,
+                       "min_pixels_cur": 4, "act_ray_num_uncert_sample": 8,
+                       "voxel_size": 0.25},
+            "training": {"n_samples_d": 8, "n_range_d": 5, "smooth_pts": 4},
+            "general": {"num_iter": 8},
+        })
+        cfg2 = cfg2.replace(enable_active_planning=False,
+                            use_traj_pose=True)
+        from naruto_tpu.system.engine import Engine
+
+        eng = Engine(cfg2, quiet=True)
+        final = eng.run()
+        # passive: final pose equals the trajectory's last pose
+        np.testing.assert_allclose(final, poses[7], atol=1e-5)
+        assert int(eng.mapper.state.kf.count) >= 2
