@@ -69,13 +69,16 @@ def main() -> None:
     jax.block_until_ready(mapper.state.params["table"])
     compile_s = time.perf_counter() - t0
 
-    # timed steps
+    # timed steps. NOTE: this backend's block_until_ready can return before
+    # remote execution completes; pulling a scalar to the host each call
+    # forces true completion (verified against wall-clock of long runs).
     n_steps = 20
+    sink = 0.0
     t0 = time.perf_counter()
     for i in range(n_steps):
         mapper.state = ba(mapper.state, frame_rays, jnp.asarray(c2w),
                           110 + i, jax.random.PRNGKey(2 + i))
-    jax.block_until_ready(mapper.state.params["table"])
+        sink += float(mapper.state.params["table"][0, 0])
     elapsed = time.perf_counter() - t0
 
     iters = n_steps * cfg.mapper.iters
