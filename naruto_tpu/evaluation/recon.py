@@ -13,7 +13,7 @@ Nearest neighbors via cKDTree (the reference uses sklearn KDTree).
 """
 from __future__ import annotations
 
-from typing import Dict, Optional, Tuple
+from typing import Dict
 
 import numpy as np
 from scipy.spatial import cKDTree

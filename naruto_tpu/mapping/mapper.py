@@ -45,9 +45,7 @@ import optax
 from naruto_tpu.config.schema import MainConfig
 from naruto_tpu.geometry.rays import get_camera_rays
 from naruto_tpu.geometry.voxel import volume_shape, world_grid
-from naruto_tpu.mapping.field import (
-    FieldSpec, field_query, init_field_params, normalize_world, query_sdf,
-)
+from naruto_tpu.mapping.field import FieldSpec, init_field_params, query_sdf
 from naruto_tpu.mapping.keyframes import (
     KeyframeDB, add_keyframe, init_keyframe_db, sample_global_rays,
 )

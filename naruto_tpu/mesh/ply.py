@@ -7,7 +7,6 @@ contract (vertex xyz [+ rgb uchar], triangle faces).
 """
 from __future__ import annotations
 
-import struct
 from typing import Optional, Tuple
 
 import numpy as np

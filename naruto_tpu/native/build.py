@@ -3,7 +3,6 @@ ctypes). Builds are cached next to the sources; call ensure_built() from the
 wrappers."""
 from __future__ import annotations
 
-import os
 import subprocess
 import sys
 from pathlib import Path

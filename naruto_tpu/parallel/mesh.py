@@ -9,7 +9,7 @@ parallelism would be counterproductive at this size.
 """
 from __future__ import annotations
 
-from typing import Optional, Sequence
+from typing import Optional
 
 import jax
 import numpy as np

@@ -8,7 +8,6 @@ model scale — the sharding annotations ARE the parallelism.
 """
 from __future__ import annotations
 
-from typing import Dict, Tuple
 
 import jax
 import jax.numpy as jnp

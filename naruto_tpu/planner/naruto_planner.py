@@ -17,7 +17,6 @@ depending on dataset — ref :512-594).
 """
 from __future__ import annotations
 
-import time
 from typing import Dict, List, Optional
 
 import jax

@@ -13,8 +13,7 @@ tracing — 64 fixed steps over [H*W] rays, pure VPU math.
 """
 from __future__ import annotations
 
-import functools
-from typing import Optional, Tuple
+from typing import Optional
 
 import jax
 import jax.numpy as jnp

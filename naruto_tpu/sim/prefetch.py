@@ -12,7 +12,7 @@ frame i+1 while the mapper trains on frame i. A full-resolution frame is
 from __future__ import annotations
 
 from concurrent.futures import ThreadPoolExecutor
-from typing import Callable, Optional, Tuple
+from typing import Callable, Tuple
 
 import numpy as np
 
