@@ -200,3 +200,27 @@ class TestDeterminism:
         p2 = Engine(cfg2, quiet=True).run(num_iter=10)
         # trajectories should differ somewhere (field init + sampling differ)
         assert not np.allclose(p1, p2, atol=1e-6)
+
+
+class TestP2E:
+    def test_p2e_e2p_roundtrip(self):
+        """Projecting a perspective view back into ERP must reproduce the
+        ERP content inside the view's footprint."""
+        from naruto_tpu.geometry.erp import p2e_with_pose
+        # smooth ERP pattern
+        H, W = 48, 96
+        v = jnp.linspace(0, 1, H)[:, None]
+        u = jnp.linspace(0, 1, W)[None, :]
+        erp = jnp.sin(4 * jnp.pi * u) * jnp.cos(2 * jnp.pi * v) + 2.0
+        face = e2p(erp, FACE_ROTATIONS[0], 64)     # front view, 90 deg
+        f = 32.0
+        back = p2e_with_pose(face, FACE_ROTATIONS[0], H, W, f, f,
+                             31.5, 31.5, fill=-1.0)
+        back = np.asarray(back)
+        erp_np = np.asarray(erp)
+        # central (front-facing) ERP region must match
+        rows, cols = slice(20, 28), slice(44, 52)
+        np.testing.assert_allclose(back[rows, cols], erp_np[rows, cols],
+                                   atol=0.05)
+        # region behind the camera is fill
+        assert np.all(back[:, :8] == -1.0)
