@@ -67,25 +67,45 @@ class AggregationOutputs(NamedTuple):
 def make_aggregator(vol_shape, gs: GoalSpace, voxel_size: float,
                     top_k: int = 4000, subset: int = 300,
                     sensing_range=(0.5, 2.0), safe_sdf: float = 0.8,
-                    n_vis_pts: int = 30):
-    """Build the jitted aggregation fn for a fixed volume/goal-space shape."""
+                    n_vis_pts: int = 30, goal_chunk: int = 2048):
+    """Build the jitted aggregation fn for a fixed volume/goal-space shape.
+
+    Goals are processed in chunks of `goal_chunk` via lax.map: the dense
+    [G, K, n_vis] visibility tensor for MP3D-size scenes (G ~ 20k) would
+    otherwise peak at several GB; chunking bounds the working set at
+    ~goal_chunk * K * n_vis elements with no behavioral change.
+    """
     X, Y, Z = vol_shape
-    goal_pts = jnp.asarray(gs.points)                       # [G, 3]
-    G = goal_pts.shape[0]
+    goal_pts_np = np.asarray(gs.points, dtype=np.float32)   # [G, 3]
+    G = goal_pts_np.shape[0]
     k_eff = min(top_k, X * Y * Z)
     subset_eff = min(subset, k_eff)
     min_d = sensing_range[0] / voxel_size
     max_d = sensing_range[1] / voxel_size
 
-    gxi = goal_pts.astype(jnp.int32)
+    # pad goals to a chunk multiple (padded goals masked invalid)
+    chunk = min(goal_chunk, max(G, 1))
+    n_chunks = -(-G // chunk)
+    pad = n_chunks * chunk - G
+    goal_pts_pad = np.concatenate(
+        [goal_pts_np, np.zeros((pad, 3), np.float32)])
+    goal_real = np.concatenate(
+        [np.ones(G, bool), np.zeros(pad, bool)])
+    goal_pts_c = jnp.asarray(goal_pts_pad.reshape(n_chunks, chunk, 3))
+    goal_real_c = jnp.asarray(goal_real.reshape(n_chunks, chunk))
+
+    gxi = goal_pts_pad.astype(np.int32)
     border = ((gxi[:, 0] < 1) | (gxi[:, 0] + 1 >= X)
               | (gxi[:, 1] < 1) | (gxi[:, 1] + 1 >= Y)
               | (gxi[:, 2] < 1) | (gxi[:, 2] + 1 >= Z))
+    border_c = jnp.asarray(border.reshape(n_chunks, chunk))
+    gxi_c = jnp.asarray(gxi.reshape(n_chunks, chunk, 3))
 
     neighbor_offsets = jnp.asarray(
         [[0, 0, 0], [1, 0, 0], [-1, 0, 0], [0, 1, 0], [0, -1, 0],
          [0, 0, 1], [0, 0, -1]], dtype=jnp.int32)
     t_vals = jnp.linspace(0.0, 1.0, n_vis_pts)
+    clip_hi = jnp.asarray([X - 1, Y - 1, Z - 1])
 
     @jax.jit
     def aggregate(uncert: jnp.ndarray, sdf: jnp.ndarray,
@@ -99,31 +119,35 @@ def make_aggregator(vol_shape, gs: GoalSpace, voxel_size: float,
         tz = chosen % Z
         tvox = jnp.stack([tx, ty, tz], axis=-1)             # [K, 3] int
         tvox_f = tvox.astype(jnp.float32)
-
-        view = goal_pts[:, None, :] - tvox_f[None, :, :]    # [G, K, 3]
-        dist = jnp.linalg.norm(view, axis=-1)
-        dist_ok = (dist > min_d) & (dist < max_d)
-
-        # goal safety: border or any 6-neighborhood SDF below safe_sdf
-        nb = jnp.clip(gxi[:, None, :] + neighbor_offsets[None, :, :],
-                      0, jnp.asarray([X - 1, Y - 1, Z - 1]))
-        nb_sdf = sdf[nb[..., 0], nb[..., 1], nb[..., 2]]    # [G, 7]
-        unsafe = border | jnp.any(nb_sdf < safe_sdf, axis=-1)
-
-        # visibility: march goal -> target, all SDF > 0
-        vis = goal_pts[:, None, None, :] \
-            - t_vals[None, None, :, None] * view[:, :, None, :]  # [G,K,T,3]
-        vi = jnp.clip(vis.astype(jnp.int32), 0,
-                      jnp.asarray([X - 1, Y - 1, Z - 1]))
-        vis_sdf = sdf[vi[..., 0], vi[..., 1], vi[..., 2]]   # [G, K, T]
-        visible = jnp.min(vis_sdf, axis=-1) > 0.0
-
-        valid = dist_ok & (~unsafe[:, None]) & visible      # [G, K]
         u_k = uncert[tvox[:, 0], tvox[:, 1], tvox[:, 2]]    # [K]
-        collections = jnp.where(valid, u_k[None, :], 0.0)
+
+        def per_chunk(args):
+            gp, gi, gborder, greal = args                   # [C,3],[C,3],[C]
+            view = gp[:, None, :] - tvox_f[None, :, :]      # [C, K, 3]
+            dist = jnp.linalg.norm(view, axis=-1)
+            dist_ok = (dist > min_d) & (dist < max_d)
+
+            nb = jnp.clip(gi[:, None, :] + neighbor_offsets[None, :, :],
+                          0, clip_hi)
+            nb_sdf = sdf[nb[..., 0], nb[..., 1], nb[..., 2]]
+            unsafe = gborder | jnp.any(nb_sdf < safe_sdf, axis=-1)
+
+            vis = gp[:, None, None, :] \
+                - t_vals[None, None, :, None] * view[:, :, None, :]
+            vi = jnp.clip(vis.astype(jnp.int32), 0, clip_hi)
+            vis_sdf = sdf[vi[..., 0], vi[..., 1], vi[..., 2]]
+            visible = jnp.min(vis_sdf, axis=-1) > 0.0
+
+            valid = (dist_ok & (~unsafe[:, None]) & visible
+                     & greal[:, None])
+            return jnp.where(valid, u_k[None, :], 0.0), jnp.any(valid)
+
+        collections, chunk_valid = jax.lax.map(
+            per_chunk, (goal_pts_c, gxi_c, border_c, goal_real_c))
+        collections = collections.reshape(n_chunks * chunk, -1)[:G]
         aggre = jnp.sum(collections, axis=-1).reshape(gs.shape)
         return AggregationOutputs(
             gs_aggre=aggre, topk_vxl=tvox.astype(jnp.int32),
-            collections=collections, any_valid=jnp.any(valid))
+            collections=collections, any_valid=jnp.any(chunk_valid))
 
     return aggregate
