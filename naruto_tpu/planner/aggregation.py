@@ -111,8 +111,16 @@ def make_aggregator(vol_shape, gs: GoalSpace, voxel_size: float,
     def aggregate(uncert: jnp.ndarray, sdf: jnp.ndarray,
                   key) -> AggregationOutputs:
         flat = uncert.reshape(-1)
-        _, top_idx = jax.lax.top_k(flat, k_eff)
-        sel = jax.random.choice(key, k_eff, (subset_eff,), replace=False)
+        top_vals, top_idx = jax.lax.top_k(flat, k_eff)
+        # random subset of the top-k (the reference takes an arbitrary
+        # argpartition slice — naruto_planner.py:625-630 — to avoid goal
+        # concentration). Improvement: weight the draw toward NONZERO
+        # entries so sparse uncertainty volumes still yield usable targets.
+        nz = (top_vals > 0).astype(jnp.float32)
+        p = jnp.where(jnp.sum(nz) >= subset_eff, nz,
+                      jnp.ones_like(nz)) + 1e-9
+        sel = jax.random.choice(key, k_eff, (subset_eff,), replace=False,
+                                p=p / jnp.sum(p))
         chosen = top_idx[sel]
         tx = chosen // (Y * Z)
         ty = (chosen // Z) % Y

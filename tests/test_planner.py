@@ -216,3 +216,60 @@ class TestPlannerFSM:
             R = pose[:3, :3]
             np.testing.assert_allclose(R @ R.T, np.eye(3), atol=1e-4)
             assert np.linalg.det(R) > 0.9
+
+
+class TestFSMTransitions:
+    """Exact transition contract (ref naruto_planner.py:162-229)."""
+
+    def _mk(self):
+        cfg = _planner_cfg()
+        planner = init_planner(cfg)
+        planner.init_data(cfg.mapper.bound_np)
+        planner.init_local_planner()
+        sdf = box_room_sdf(planner.vol_shape)
+        uncert = np.zeros(planner.vol_shape, dtype=np.float32)
+        uncert[21:24, 21:24, 9:12] = 4.0   # realistic surface-patch blob
+        pose = np.eye(4, dtype=np.float32)
+        pose[:3, 3] = planner.vox2loc(np.array([15.0, 15, 10]))
+        return planner, [uncert, sdf], pose
+
+    def test_canonical_sequence(self):
+        planner, vols, pose = self._mk()
+        seq = []
+        for i in range(80):
+            planner.update_step(i)
+            pose = planner.main(vols, pose, is_new_vols=(i == 0))
+            seq.append(planner.state)
+        # collapse consecutive duplicates
+        collapsed = [s for j, s in enumerate(seq)
+                     if j == 0 or s != seq[j - 1]]
+        # canonical order: planning -> rotPlanStart -> rotatingStart ->
+        # movingToGoal -> rotPlanGoal -> rotatingGoal -> ...
+        want = ["planning", "rotationPlanningAtStart", "rotatingAtStart",
+                "movingToGoal", "rotationPlanningAtGoal", "rotatingAtGoal"]
+        assert collapsed[:6] == want, collapsed[:8]
+
+    def test_unreachable_goal_goes_staying(self):
+        planner, vols, pose = self._mk()
+        # surround the agent with walls: no goal is reachable. Plan at a
+        # step > 0 (at step 0 the reference forces the SDF empty —
+        # naruto_planner.py:436-438 — so the first plan always "succeeds").
+        sdf = np.full(planner.vol_shape, -1.0, dtype=np.float32)
+        sdf[13:18, 13:18, 8:13] = 2.0   # only a small pocket is free
+        vols = [vols[0], sdf]
+        planner.update_step(5)
+        planner.main(vols, pose, is_new_vols=True)   # staying -> planning
+        assert planner.state == "planning"
+        planner.update_step(6)
+        planner.main(vols, pose, is_new_vols=False)
+        # goal unreachable -> staying
+        assert planner.state == "staying"
+
+    def test_staying_waits_for_new_map(self):
+        planner, vols, pose = self._mk()
+        planner.state = "staying"
+        planner.update_step(0)
+        planner.main(vols, pose, is_new_vols=False)
+        assert planner.state == "staying"
+        planner.main(vols, pose, is_new_vols=True)
+        assert planner.state == "planning"
