@@ -172,7 +172,7 @@ class TestKeyframes:
         depth = jnp.concatenate([jnp.zeros(50), jnp.full((50,), 1.5)])
         rays = jnp.concatenate([jnp.ones((100, 6)), depth[:, None]], axis=-1)
         db = add_keyframe(db, rays, 0, jax.random.PRNGKey(0))
-        stored = np.asarray(db.rays[0])
+        stored = np.asarray(db.rays[:8])  # slot 0 occupies the first quota
         assert np.all(stored[:, 6] > 0)  # only valid-depth rays stored
 
     def test_duplication_when_few_valid(self):
@@ -182,7 +182,7 @@ class TestKeyframes:
             [jnp.arange(100, dtype=jnp.float32)[:, None].repeat(6, 1),
              depth[:, None]], axis=-1)
         db = add_keyframe(db, rays, 0, jax.random.PRNGKey(0))
-        stored = np.asarray(db.rays[0])
+        stored = np.asarray(db.rays[:8])
         assert np.all(stored[:, 6] > 0)  # recycled valid rays, no invalid
 
 
