@@ -26,26 +26,18 @@ import jax
 import jax.numpy as jnp
 
 
-def _merge_ranks(keys: jnp.ndarray, size: int) -> jnp.ndarray:
-    """For each slot t in [0, size): number of keys <= t.
-
-    Tagged-merge trick with KEYS-ONLY sorts (the TPU's fast sort path):
-    merge 2*key with sentinels 2*t+1; after sorting, the position of
-    sentinel t minus t is the count of keys <= t. Sentinel positions are
-    extracted in order with a second keys-only sort (positions of odd
-    entries), avoiding argsort payloads and binary searches."""
-    m = keys.shape[0]
+def _merge_ranks(sorted_keys: jnp.ndarray, size: int) -> jnp.ndarray:
+    """For each slot t in [0, size): number of sorted_keys <= t, computed
+    via tagged merge + double argsort (rank = argsort(argsort(x)))."""
+    m = sorted_keys.shape[0]
+    # tag: key entries sort before equal-valued slot sentinels
     merged = jnp.concatenate([
-        keys.astype(jnp.int32) * 2,
+        sorted_keys.astype(jnp.int32) * 2,
         jnp.arange(size, dtype=jnp.int32) * 2 + 1,
     ])
-    sorted_merged = jnp.sort(merged)
-    is_sentinel = (sorted_merged & 1) == 1
-    total = m + size
-    pos = jnp.sort(jnp.where(is_sentinel,
-                             jnp.arange(total, dtype=jnp.int32),
-                             jnp.int32(total)))[:size]
-    return pos - jnp.arange(size, dtype=jnp.int32)      # keys <= t
+    rank = jnp.argsort(jnp.argsort(merged))
+    ub = rank[m:] - jnp.arange(size, dtype=jnp.int32)   # keys <= t
+    return ub
 
 
 def dense_segment_sum(indices: jnp.ndarray, values: jnp.ndarray,
@@ -67,23 +59,17 @@ def dense_segment_sum(indices: jnp.ndarray, values: jnp.ndarray,
             packed[:, j] for j in range(f // 2))
         sorted_ops = jax.lax.sort(ops, num_keys=1)
         si = sorted_ops[0]
-        cols = []
-        for col in sorted_ops[1:]:                       # unpack bf16 pairs
-            pair = col[:, None].view(jnp.bfloat16).astype(values.dtype)
-            cols.extend([pair[:, 0], pair[:, 1]])
+        sp = jnp.stack(sorted_ops[1:], axis=-1)          # [M, F//2] int32
+        sv = sp[..., None].view(jnp.bfloat16).reshape(-1, f)
+        sv = sv.astype(values.dtype)
     else:
         ops = (indices.astype(jnp.int32),) + tuple(
             values[:, j] for j in range(f))
         sorted_ops = jax.lax.sort(ops, num_keys=1)
         si = sorted_ops[0]
-        cols = list(sorted_ops[1:])
+        sv = jnp.stack(sorted_ops[1:], axis=-1)          # [M, F] sorted
+    cs = jnp.concatenate(
+        [jnp.zeros((1, f), values.dtype), jnp.cumsum(sv, axis=0)], axis=0)
     ub = _merge_ranks(si, size)                          # keys <= t
     lb = jnp.concatenate([jnp.zeros((1,), ub.dtype), ub[:-1]])
-    # per-column 1-D prefix sums avoid the [M, F] relayout + 2-D cumsum the
-    # profiler flagged; the per-slot gathers are tiny ([size] each)
-    outs = []
-    for col in cols:
-        cs = jnp.concatenate([jnp.zeros((1,), values.dtype),
-                              jnp.cumsum(col)])
-        outs.append(cs[ub] - cs[lb])
-    return jnp.stack(outs, axis=-1)
+    return cs[ub] - cs[lb]
