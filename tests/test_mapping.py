@@ -281,3 +281,26 @@ class TestFullStateResume:
             a = m1.predict_sdf(np.array([[0.1, 0.2, 0.5]]))
             b = m2.predict_sdf(np.array([[0.1, 0.2, 0.5]]))
             np.testing.assert_allclose(a, b, atol=1e-6)
+
+
+class TestKeyframeFlatLayout:
+    def test_slot_boundaries(self):
+        """Flat store: each slot occupies a contiguous quota block."""
+        db = init_keyframe_db(3, 4)
+        assert db.rays.shape == (12, 7)
+        r0 = jnp.concatenate([jnp.full((10, 6), 1.0),
+                              jnp.full((10, 1), 1.0)], -1)
+        r1 = jnp.concatenate([jnp.full((10, 6), 2.0),
+                              jnp.full((10, 1), 2.0)], -1)
+        db = add_keyframe(db, r0, 0, jax.random.PRNGKey(0))
+        db = add_keyframe(db, r1, 5, jax.random.PRNGKey(1))
+        rays = np.asarray(db.rays)
+        assert np.all(rays[:4, 0] == 1.0)
+        assert np.all(rays[4:8, 0] == 2.0)
+        assert np.all(rays[8:] == 0.0)  # empty slot untouched
+        # sampling maps flat indices back to the right slot ids
+        s, ids = sample_global_rays(db, jax.random.PRNGKey(2), 64)
+        ids = np.asarray(ids)
+        vals = np.asarray(s)[:, 0]
+        assert set(np.unique(ids)) <= {0, 1}
+        np.testing.assert_array_equal(vals, (ids + 1).astype(np.float32))
