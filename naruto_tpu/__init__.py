@@ -24,3 +24,20 @@ Layer map (mirrors reference SURVEY.md L0-L10, re-designed TPU-first):
 """
 
 __version__ = "0.1.0"
+
+
+def __getattr__(name):
+    """Lazy top-level API (imports pull in jax; keep module import light)."""
+    if name == "Engine":
+        from naruto_tpu.system.engine import Engine
+        return Engine
+    if name == "Mapper":
+        from naruto_tpu.mapping.mapper import Mapper
+        return Mapper
+    if name == "make_config":
+        from naruto_tpu.config import make_config
+        return make_config
+    if name == "load_config":
+        from naruto_tpu.config import load_config
+        return load_config
+    raise AttributeError(name)
