@@ -42,7 +42,11 @@ def make_config(dataset: str = "Replica", scene: str = "office0",
     )
     cfg = deep_update(cfg, {
         "mapper": {"bound": bound, "marching_cubes_bound": mc_bound},
+        "start_c2w": presets.START_C2W.get(dataset, {}).get(scene),
     })
+    scene_over = presets.SCENE_OVERRIDES.get(dataset, {}).get(scene)
+    if scene_over:
+        cfg = deep_update(cfg, scene_over)
     if overrides:
         cfg = deep_update(cfg, overrides)
     return cfg

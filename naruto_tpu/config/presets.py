@@ -45,3 +45,45 @@ MC_BOUNDS: Dict[str, Dict[str, Bound]] = {
 }
 
 NUM_ITERS: Dict[str, int] = {"Replica": 2000, "MP3D": 5000, "NARUTO": 2000}
+
+# Per-scene initial camera pose (RDF c2w) — ref configs/<ds>/<scene>/
+# NARUTO.py `start_c2w`. Replica scenes start at identity
+# (configs/Replica/*/NARUTO.py:48); MP3D scenes 1m up the z axis
+# (configs/MP3D/*/NARUTO.py:44-48); NARUTO object scenes look along +y
+# from outside the object (configs/NARUTO/*/NARUTO.py).
+_EYE = ((1.0, 0.0, 0.0, 0.0), (0.0, 1.0, 0.0, 0.0),
+        (0.0, 0.0, 1.0, 0.0), (0.0, 0.0, 0.0, 1.0))
+_MP3D_START = ((1.0, 0.0, 0.0, 0.0), (0.0, 1.0, 0.0, 0.0),
+               (0.0, 0.0, 1.0, 1.0), (0.0, 0.0, 0.0, 1.0))
+START_C2W: Dict[str, Dict[str, tuple]] = {
+    "Replica": {s: _EYE for s in SCENE_BOUNDS["Replica"]},
+    "MP3D": {s: _MP3D_START for s in SCENE_BOUNDS["MP3D"]},
+    "NARUTO": {
+        "hokage_room": ((1.0, 0.0, 0.0, 0.0), (0.0, 0.0, -1.0, -1.0),
+                        (0.0, 1.0, 0.0, 2.0), (0.0, 0.0, 0.0, 1.0)),
+        "jiraiya": ((1.0, 0.0, 0.0, 0.0), (0.0, 0.0, -1.0, -2.9),
+                    (0.0, 1.0, 0.0, 0.0), (0.0, 0.0, 0.0, 1.0)),
+        "naruto": ((1.0, 0.0, 0.0, 0.0), (0.0, 0.0, -1.0, -2.4),
+                   (0.0, 1.0, 0.0, 0.0), (0.0, 0.0, 0.0, 1.0)),
+    },
+}
+
+# Per-scene non-default knobs from the reference experiment configs.
+SCENE_OVERRIDES: Dict[str, Dict[str, dict]] = {
+    "MP3D": {
+        # more incomplete scene -> higher invalid-ERP tolerance
+        # (configs/MP3D/HxpKQynjfin/NARUTO.py planner section)
+        "HxpKQynjfin": {"planner": {"invalid_region_ratio_thre": 0.8}},
+    },
+    "NARUTO": {
+        # object scenes plan on a finer uncertainty volume
+        # (configs/NARUTO/{jiraiya,naruto}/NARUTO.py planner section)
+        "hokage_room": {"vis": {"save_mesh_voxel_size": 0.1}},
+        "jiraiya": {"planner": {"voxel_size": 0.02},
+                    "mapper": {"voxel_size": 0.02},
+                    "vis": {"save_mesh_voxel_size": 0.05}},
+        "naruto": {"planner": {"voxel_size": 0.02},
+                   "mapper": {"voxel_size": 0.02},
+                   "vis": {"save_mesh_voxel_size": 0.02}},
+    },
+}

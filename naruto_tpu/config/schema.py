@@ -31,6 +31,9 @@ class GeneralConfig:
     # mid-run full-state checkpoint cadence (0 = final only; the reference
     # checkpoints only at run end — SURVEY.md §5.4)
     ckpt_freq: int = 0
+    # run the full metric row (acc/comp/ratio/MAD) at finalize when a GT
+    # mesh is available (ref eval_replica.sh pipeline)
+    final_eval: bool = True
 
 
 @dataclass
@@ -70,6 +73,11 @@ class GridConfig:
     n_levels: int = 4
     n_features_per_level: int = 8
     table_dtype: str = "bfloat16"
+    # "vertex" = exact instant-ngp/tcnn vertex-keyed rows; "cell" = one row
+    # per cell with all 8 corner features contiguous (wide-row gathers are
+    # ~6x faster on TPU and the backward sorts 8x fewer keys; corners are
+    # per-cell copies, see ops/encoding.py HashGridSpec.layout)
+    layout: str = "vertex"
     base_resolution: int = 16
     voxel_sdf: float = 0.02         # finest resolution = max bbox len / this
     voxel_color: float = 0.08
@@ -267,6 +275,11 @@ class MainConfig:
     # active planning / pose source — ref: configs/default.py slam section
     enable_active_planning: bool = True
     use_traj_pose: bool = False
+    # per-scene initial camera pose (4x4 RDF c2w, row-major nested lists) —
+    # ref: configs/<ds>/<scene>/NARUTO.py `start_c2w`
+    # (e.g. configs/MP3D/gZ6f7yhEvPG/NARUTO.py:44-48). None = unset, in
+    # which case active asset-free runs fall back to the room center.
+    start_c2w: Optional[List[List[float]]] = None
 
     def to_dict(self) -> Dict[str, Any]:
         return dataclasses.asdict(self)

@@ -46,6 +46,7 @@ class FieldSpec:
     log2_hashmap_size: int = 16
     base_resolution: int = 16
     table_dtype: str = "bfloat16"
+    table_layout: str = "vertex"    # "vertex" (exact tcnn) | "cell" (fast)
     voxel_sdf: float = 0.02
     pos_n_bins: int = 16
     geo_feat_dim: int = 15
@@ -69,7 +70,8 @@ class FieldSpec:
             n_levels=self.n_levels, n_features=self.n_features,
             log2_table_size=self.log2_hashmap_size,
             base_resolution=self.base_resolution,
-            gather_dtype=self.table_dtype)
+            gather_dtype=self.table_dtype,
+            layout=self.table_layout)
 
     @functools.cached_property
     def uncert_shape(self) -> Tuple[int, int, int]:

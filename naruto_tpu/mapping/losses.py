@@ -48,22 +48,31 @@ def _safe_div(num, den):
     return num / jnp.maximum(den, 1.0)
 
 
-def rgb_depth_losses(rend: Dict, target_rgb, target_d, ray_mask, lw: LossWeights):
+def _gsum(x, axis):
+    """Sum x, then all-reduce over the shard axis when running inside
+    shard_map — every mean below becomes a GLOBAL mean so the psum of
+    per-shard gradients equals the single-device gradient exactly."""
+    s = jnp.sum(x)
+    return jax.lax.psum(s, axis) if axis is not None else s
+
+
+def rgb_depth_losses(rend: Dict, target_rgb, target_d, ray_mask,
+                     lw: LossWeights, axis=None):
     valid = ((target_d[:, 0] > 0.0)
              & (target_d[:, 0] < lw.depth_trunc)) & (ray_mask > 0)
     validf = valid.astype(jnp.float32)
-    n_real = jnp.sum(ray_mask)
+    n_real = _gsum(ray_mask, axis)
 
     w = jnp.where(valid, 1.0, lw.rgb_missing)[:, None] * ray_mask[:, None]
     rgb_se = jnp.square(w * (rend["rgb"] - target_rgb))
-    rgb_loss = _safe_div(jnp.sum(rgb_se), n_real * 3.0)
+    rgb_loss = _safe_div(_gsum(rgb_se, axis), n_real * 3.0)
 
     d_se = jnp.square(rend["depth"] - target_d[:, 0]) * validf
-    depth_loss = _safe_div(jnp.sum(d_se), jnp.sum(validf))
+    depth_loss = _safe_div(_gsum(d_se, axis), _gsum(validf, axis))
     return rgb_loss, depth_loss, valid
 
 
-def sdf_losses(sdf, z_vals, target_d, ray_mask, lw: LossWeights):
+def sdf_losses(sdf, z_vals, target_d, ray_mask, lw: LossWeights, axis=None):
     """sdf, z_vals: [N, S]; target_d: [N, 1]."""
     tr = lw.trunc * lw.sc_factor
     n, s = sdf.shape
@@ -74,28 +83,28 @@ def sdf_losses(sdf, z_vals, target_d, ray_mask, lw: LossWeights):
     front = front_raw * rm
     sdf_mask = (1.0 - front_raw) * (1.0 - back) * depth_ok * rm
 
-    n_elems = jnp.sum(ray_mask) * s
-    n_fs = jnp.sum(front)
-    n_sdf = jnp.sum(sdf_mask)
+    n_elems = _gsum(ray_mask, axis) * s
+    n_fs = _gsum(front, axis)
+    n_sdf = _gsum(sdf_mask, axis)
     n_both = jnp.maximum(n_fs + n_sdf, 1.0)
     fs_factor = 1.0 - n_fs / n_both
     sdf_factor = 1.0 - n_sdf / n_both
 
-    fs_loss = _safe_div(jnp.sum(jnp.square((sdf - 1.0) * front)),
+    fs_loss = _safe_div(_gsum(jnp.square((sdf - 1.0) * front), axis),
                         n_elems) * fs_factor
     sdf_loss = _safe_div(
-        jnp.sum(jnp.square((z_vals + sdf * tr - target_d) * sdf_mask)),
+        _gsum(jnp.square((z_vals + sdf * tr - target_d) * sdf_mask), axis),
         n_elems) * sdf_factor
     return fs_loss, sdf_loss
 
 
-def uncert_loss(rend: Dict, target_d, valid_mask, lw: LossWeights):
+def uncert_loss(rend: Dict, target_d, valid_mask, lw: LossWeights, axis=None):
     sigma = rend["uncert_map"] + 1e-9
     vm = valid_mask.astype(jnp.float32)
-    nv = jnp.maximum(jnp.sum(vm), 1.0)
+    nv = jnp.maximum(_gsum(vm, axis), 1.0)
     err2 = jnp.square(rend["depth"] - target_d[:, 0])
-    nll = jnp.sum((err2 / (2.0 * sigma)) * vm) / nv
-    log_term = 0.5 * jnp.sum(jnp.log(sigma) * vm) / nv
+    nll = _gsum((err2 / (2.0 * sigma)) * vm, axis) / nv
+    log_term = 0.5 * _gsum(jnp.log(sigma) * vm, axis) / nv
     return nll + log_term
 
 
@@ -132,42 +141,37 @@ def smoothness_tv(embed: jnp.ndarray, n: int, lw: LossWeights):
 
 
 def smoothness_loss(params, spec: FieldSpec, key, lw: LossWeights):
-    """TV^2 of hash embeddings on a random sub-grid."""
-    n = lw.smooth_pts - 1
-    bound = jnp.asarray(spec.bound_np)
-    extent = bound[:, 1] - bound[:, 0]
-    grid_size = n * lw.smooth_vox
-    k1, k2 = jax.random.split(key)
-    offset_max = jnp.maximum(extent - grid_size - 2 * lw.smooth_margin, 0.0)
-    offset = jax.random.uniform(k1, (3,)) * offset_max + lw.smooth_margin
-    coords = jnp.stack(jnp.meshgrid(
-        jnp.arange(n, dtype=jnp.float32),
-        jnp.arange(n, dtype=jnp.float32),
-        jnp.arange(n, dtype=jnp.float32), indexing="ij"), axis=-1)
-    jitter = jax.random.uniform(k2, (1, 1, 1, 3))
-    pts = (coords + jitter) * lw.smooth_vox + bound[:, 0] + offset
-    x01 = ((pts - bound[:, 0]) / extent).reshape(-1, 3)
-    emb = query_embed(params, x01, spec).reshape(n, n, n, -1)
-    tv = (jnp.sum(jnp.square(emb[1:] - emb[:-1]))
-          + jnp.sum(jnp.square(emb[:, 1:] - emb[:, :-1]))
-          + jnp.sum(jnp.square(emb[:, :, 1:] - emb[:, :, :-1])))
-    return tv / (lw.smooth_pts ** 3)
+    """TV^2 of hash embeddings on a random sub-grid (standalone path; the
+    fused path feeds the same points through the render batch and calls
+    smoothness_tv on the returned embeddings)."""
+    x01, n = smoothness_points(spec, key, lw)
+    embed = query_embed(params, x01, spec)
+    return smoothness_tv(embed, n, lw)
 
 
 def total_loss(params, spec: FieldSpec, rend: Dict, target_rgb, target_d,
                ray_mask, key, lw: LossWeights,
-               with_smooth: bool = True) -> tuple[jnp.ndarray, Dict]:
-    """Weighted sum — ref get_loss_from_ret (coslam.py:154-174)."""
+               with_smooth: bool = True, axis=None) -> tuple[jnp.ndarray, Dict]:
+    """Weighted sum — ref get_loss_from_ret (coslam.py:154-174).
+
+    axis: shard_map axis name when the ray batch is sharded across devices —
+    ray/sample sums and denominators become global via psum so every device
+    computes the GLOBAL loss value. The smoothness term (computed
+    identically on every device from a replicated sub-grid) needs no
+    scaling: the caller (mapper._grad_fn) differentiates loss/axis_size
+    w.r.t. varying-cast params, whose transpose performs exactly one
+    cross-device sum for every parameter.
+    """
     rgb_l, depth_l, valid = rgb_depth_losses(rend, target_rgb, target_d,
-                                             ray_mask, lw)
+                                             ray_mask, lw, axis)
     fs_l, sdf_l = sdf_losses(rend["sdf"], rend["z_vals"], target_d,
-                             ray_mask, lw)
+                             ray_mask, lw, axis)
     loss = (lw.rgb * rgb_l + lw.depth * depth_l + lw.sdf * sdf_l
             + lw.fs * fs_l)
     aux = {"rgb_loss": rgb_l, "depth_loss": depth_l, "sdf_loss": sdf_l,
            "fs_loss": fs_l}
     if "uncert_map" in rend:
-        u_l = uncert_loss(rend, target_d, valid, lw)
+        u_l = uncert_loss(rend, target_d, valid, lw, axis)
         loss = loss + lw.uncert * u_l
         aux["uncert_loss"] = u_l
     if with_smooth and lw.smooth > 0:

@@ -37,8 +37,13 @@ class RenderConfig(NamedTuple):
         return self.n_range_d + self.n_samples_d
 
 
-def sample_z_vals(key, target_d: jnp.ndarray, rc: RenderConfig) -> jnp.ndarray:
-    """target_d: [N, 1] measured depths. Returns sorted z values [N, S]."""
+def sample_z_vals(key, target_d: jnp.ndarray, rc: RenderConfig,
+                  z_noise: jnp.ndarray | None = None) -> jnp.ndarray:
+    """target_d: [N, 1] measured depths. Returns sorted z values [N, S].
+
+    z_noise: optional precomputed U[0,1) [N, S] stratified-perturbation draw
+    (used by the sharded BA path so the same per-ray randomness is drawn
+    whether or not the batch is sharded)."""
     n = target_d.shape[0]
     z_depth = jnp.linspace(-rc.range_d, rc.range_d, rc.n_range_d)
     z_depth = z_depth[None, :] + target_d                     # [N, 11]
@@ -58,7 +63,8 @@ def sample_z_vals(key, target_d: jnp.ndarray, rc: RenderConfig) -> jnp.ndarray:
         mids = 0.5 * (z_vals[:, 1:] + z_vals[:, :-1])
         upper = jnp.concatenate([mids, z_vals[:, -1:]], axis=-1)
         lower = jnp.concatenate([z_vals[:, :1], mids], axis=-1)
-        t = jax.random.uniform(key, z_vals.shape)
+        t = (jax.random.uniform(key, z_vals.shape)
+             if z_noise is None else z_noise)
         z_vals = lower + (upper - lower) * t
     return z_vals
 
@@ -81,7 +87,8 @@ def sdf2weights(sdf: jnp.ndarray, z_vals: jnp.ndarray,
 def render_rays(params, spec: FieldSpec, rc: RenderConfig, key,
                 rays_o: jnp.ndarray, rays_d: jnp.ndarray,
                 target_d: jnp.ndarray,
-                extra_pts01: jnp.ndarray | None = None
+                extra_pts01: jnp.ndarray | None = None,
+                z_noise: jnp.ndarray | None = None
                 ) -> Dict[str, jnp.ndarray]:
     """rays_o/d: [N,3] world; target_d: [N,1].
 
@@ -92,7 +99,7 @@ def render_rays(params, spec: FieldSpec, rc: RenderConfig, key,
     the backward runs ONE segment-sum; returned as "extra_embed".
     """
     n = rays_o.shape[0]
-    z_vals = sample_z_vals(key, target_d, rc)                 # [N, S]
+    z_vals = sample_z_vals(key, target_d, rc, z_noise)        # [N, S]
     s = z_vals.shape[-1]
     pts = rays_o[:, None, :] + rays_d[:, None, :] * z_vals[..., None]
     x01 = normalize_world(pts.reshape(-1, 3), spec)

@@ -44,6 +44,18 @@ class HashGridSpec:
     # (measured 44 -> 18 ms for 3M rows x 8 features on v5e). Master params
     # and the trilinear blend stay fp32.
     gather_dtype: str = "float32"
+    # table layout (measured on v5e: XLA gather cost is dominated by a
+    # per-ROW constant below ~128-byte rows — 3M x 8-feature rows cost
+    # ~14 ms where 375k x 64-feature rows cost ~2 ms for the same bytes):
+    #   "vertex": instant-ngp layout — one row per grid VERTEX, 8 gathers
+    #             per (point, level). Exact tcnn semantics.
+    #   "cell":   one row per grid CELL holding all 8 corner features
+    #             contiguously — ONE wide gather per (point, level), 8x
+    #             fewer sort keys in the backward. Corners are not shared
+    #             between cells (each cell trains its own copies), so the
+    #             field is continuous within cells but not across faces;
+    #             reconstruction quality is validated in tests/bench.
+    layout: str = "vertex"
 
     @property
     def table_size(self) -> int:
@@ -68,10 +80,11 @@ class HashGridSpec:
 
     @functools.cached_property
     def level_sizes(self) -> Tuple[int, ...]:
-        """Entries per level: dense (res+1)^3 when it fits, else hash table."""
+        """Rows per level: dense count when it fits, else hash table.
+        vertex layout: (res+1)^3 vertices; cell layout: res^3 cells."""
         sizes = []
         for res in self.resolutions:
-            dense = (res + 1) ** 3
+            dense = res ** 3 if self.layout == "cell" else (res + 1) ** 3
             sizes.append(min(dense, self.table_size))
         return tuple(sizes)
 
@@ -90,6 +103,12 @@ class HashGridSpec:
     def output_dim(self) -> int:
         return self.n_levels * self.n_features
 
+    @property
+    def row_features(self) -> int:
+        """Feature columns per table row (cell rows pack all 8 corners)."""
+        return 8 * self.n_features if self.layout == "cell" \
+            else self.n_features
+
     @classmethod
     def from_bound(cls, bound, voxel_sdf: float = 0.02, **kw) -> "HashGridSpec":
         """Finest resolution from scene AABB, matching upstream
@@ -102,8 +121,55 @@ class HashGridSpec:
 def init_hash_table(key, spec: HashGridSpec, dtype=jnp.float32):
     """tcnn-style init: uniform in [-1e-4, 1e-4]."""
     return jax.random.uniform(
-        key, (spec.total_entries, spec.n_features), dtype=dtype,
+        key, (spec.total_entries, spec.row_features), dtype=dtype,
         minval=-1e-4, maxval=1e-4)
+
+
+_CORNERS = [[cx, cy, cz] for cx in (0, 1) for cy in (0, 1) for cz in (0, 1)]
+
+
+def _cell_pos(x: jnp.ndarray, spec: HashGridSpec):
+    """Per-level cell base i0 [N, L, 3] and fractional coords [N, L, 3]."""
+    res = jnp.asarray(spec.resolutions, dtype=jnp.float32)
+    res_i = jnp.asarray(spec.resolutions, dtype=jnp.int32)
+    pos = x[:, None, :] * res[None, :, None]
+    i0 = jnp.clip(jnp.floor(pos).astype(jnp.int32), 0,
+                  (res_i - 1)[None, :, None])
+    frac = jnp.clip(pos - i0.astype(jnp.float32), 0.0, 1.0)
+    return i0, frac
+
+
+def _corner_weights(frac: jnp.ndarray) -> jnp.ndarray:
+    """Trilinear weights [N, L, 8] in _CORNERS order from frac [N, L, 3]."""
+    cf = jnp.asarray(_CORNERS, dtype=jnp.float32)          # [8, 3]
+    return jnp.prod(
+        jnp.where(cf[None, None, :, :] > 0.5, frac[:, :, None, :],
+                  1.0 - frac[:, :, None, :]),
+        axis=-1)
+
+
+def _cell_indices(x: jnp.ndarray, spec: HashGridSpec):
+    """Cell-layout rows: flat table row per (point, level).
+
+    Returns (idx [N, L] int32, w [N, L, 8] float32 in _CORNERS order).
+    """
+    i0, frac = _cell_pos(x, spec)                          # [N, L, 3]
+    res_i = jnp.asarray(spec.resolutions, dtype=jnp.int32)
+    offsets = jnp.asarray(spec.level_offsets[:-1], dtype=jnp.int32)
+    sizes = jnp.asarray(spec.level_sizes, dtype=jnp.int32)
+    dense = jnp.asarray(
+        [r ** 3 <= spec.table_size for r in spec.resolutions],
+        dtype=jnp.bool_)
+
+    s = res_i[None, :]
+    dense_idx = i0[..., 0] + i0[..., 1] * s + i0[..., 2] * s * s
+    cu = i0.astype(jnp.uint32)
+    h = (cu[..., 0] * jnp.uint32(_PRIMES[0])) \
+        ^ (cu[..., 1] * jnp.uint32(_PRIMES[1])) \
+        ^ (cu[..., 2] * jnp.uint32(_PRIMES[2]))
+    hash_idx = (h & (sizes.astype(jnp.uint32) - 1)[None, :]).astype(jnp.int32)
+    idx = jnp.where(dense[None, :], dense_idx, hash_idx) + offsets[None, :]
+    return idx, _corner_weights(frac)
 
 
 def _corner_indices(x: jnp.ndarray, spec: HashGridSpec):
@@ -156,11 +222,16 @@ def _corner_indices(x: jnp.ndarray, spec: HashGridSpec):
 
 def _encode_impl(table, x, spec: HashGridSpec):
     n = x.shape[0]
-    idx, w = _corner_indices(x, spec)
     gtable = table.astype(spec.gather_dtype) \
         if spec.gather_dtype != "float32" else table
-    feats = jnp.take(gtable, idx, axis=0).astype(jnp.float32)  # [N, L*8, F]
-    feats = feats.reshape(n, spec.n_levels, 8, spec.n_features)
+    if spec.layout == "cell":
+        idx, w = _cell_indices(x, spec)                   # [N, L], [N, L, 8]
+        rows = jnp.take(gtable, idx.reshape(-1), axis=0).astype(jnp.float32)
+        feats = rows.reshape(n, spec.n_levels, 8, spec.n_features)
+    else:
+        idx, w = _corner_indices(x, spec)
+        feats = jnp.take(gtable, idx, axis=0).astype(jnp.float32)
+        feats = feats.reshape(n, spec.n_levels, 8, spec.n_features)
     out = jnp.sum(feats * w[..., None], axis=2)           # [N, L, F]
     return out.reshape(n, spec.output_dim), (idx, w)
 
@@ -187,28 +258,39 @@ def _hash_encode_fwd(table, x, spec):
 
 
 def _hash_encode_bwd(spec, res, g):
-    from naruto_tpu.ops.segment import dense_segment_sum
+    from naruto_tpu.ops.segment import dense_segment_sum, \
+        dense_segment_sum_outer
 
     table, x, idx, w = res
     n = x.shape[0]
     L, F = spec.n_levels, spec.n_features
     gl = g.reshape(n, L, 1, F)                            # [N, L, 1, F]
 
-    # table gradient: update (n, l, c) = g[n, l] * w[n, l, c]
-    upd = (gl * w[..., None]).reshape(-1, F)              # [N*L*8, F]
-    d_table = dense_segment_sum(idx.reshape(-1), upd, spec.total_entries)
+    if spec.layout == "cell":
+        # row update = outer(corner weights, level grad) — the sort carries
+        # the two rank-1 factors, the 8F-wide expansion happens post-sort
+        d_table = dense_segment_sum_outer(
+            idx.reshape(-1), w.reshape(-1, 8), g.reshape(-1, F),
+            spec.total_entries)
+        feats_fn = lambda: jnp.take(                      # noqa: E731
+            table, idx.reshape(-1), axis=0).reshape(n, L, 8, F)
+    else:
+        # update (n, l, c) = g[n, l] * w[n, l, c]
+        upd = (gl * w[..., None]).reshape(-1, F)          # [N*L*8, F]
+        d_table = dense_segment_sum(idx.reshape(-1), upd,
+                                    spec.total_entries)
+        feats_fn = lambda: jnp.take(                      # noqa: E731
+            table, idx, axis=0).reshape(n, L, 8, F)
     d_table = d_table.astype(table.dtype)
 
     # input gradient: d out / d frac via per-axis product rule; frac = x*res
-    feats = jnp.take(table, idx, axis=0).reshape(n, L, 8, F)
+    feats = feats_fn()
     res_l = jnp.asarray(spec.resolutions, dtype=x.dtype)  # [L]
     pos = x[:, None, :] * res_l[None, :, None]
     i0 = jnp.clip(jnp.floor(pos).astype(jnp.int32), 0,
                   jnp.asarray(spec.resolutions, jnp.int32)[None, :, None] - 1)
     frac = jnp.clip(pos - i0.astype(x.dtype), 0.0, 1.0)   # [N, L, 3]
-    corners = jnp.asarray(
-        [[cx, cy, cz] for cx in (0, 1) for cy in (0, 1) for cz in (0, 1)],
-        dtype=x.dtype)                                    # [8, 3]
+    corners = jnp.asarray(_CORNERS, dtype=x.dtype)        # [8, 3]
     t = jnp.where(corners[None, None, :, :] > 0.5, frac[:, :, None, :],
                   1.0 - frac[:, :, None, :])              # [N, L, 8, 3]
     sign = jnp.where(corners > 0.5, 1.0, -1.0)            # [8, 3]

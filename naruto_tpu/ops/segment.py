@@ -40,6 +40,39 @@ def _merge_ranks(sorted_keys: jnp.ndarray, size: int) -> jnp.ndarray:
     return ub
 
 
+def dense_segment_sum_outer(indices: jnp.ndarray, a: jnp.ndarray,
+                            b: jnp.ndarray, size: int) -> jnp.ndarray:
+    """Segment sum of rank-1 outer-product updates:
+    out[s] = sum_{i: indices[i]==s} outer(a[i], b[i]), flattened to
+    [size, A*B].
+
+    The sort carries only the a/b FACTORS (bf16-packed) — A+B columns
+    instead of A*B — and the outer product is expanded after the sort,
+    so wide updates (e.g. the cell-layout hash grid's 8x8 corner-feature
+    updates) never pay a wide variadic sort.
+    """
+    m, ka = a.shape
+    kb = b.shape[1]
+    a16 = a.astype(jnp.bfloat16).reshape(m, ka // 2, 2).view(jnp.int32)[..., 0]
+    b16 = b.astype(jnp.bfloat16).reshape(m, kb // 2, 2).view(jnp.int32)[..., 0]
+    ops = (indices.astype(jnp.int32),) + tuple(
+        a16[:, j] for j in range(ka // 2)) + tuple(
+        b16[:, j] for j in range(kb // 2))
+    sorted_ops = jax.lax.sort(ops, num_keys=1)
+    si = sorted_ops[0]
+    sa = jnp.stack(sorted_ops[1:1 + ka // 2], axis=-1)[..., None] \
+        .view(jnp.bfloat16).reshape(m, ka).astype(jnp.float32)
+    sb = jnp.stack(sorted_ops[1 + ka // 2:], axis=-1)[..., None] \
+        .view(jnp.bfloat16).reshape(m, kb).astype(jnp.float32)
+    sv = (sa[:, :, None] * sb[:, None, :]).reshape(m, ka * kb)
+    cs = jnp.concatenate(
+        [jnp.zeros((1, ka * kb), jnp.float32), jnp.cumsum(sv, axis=0)],
+        axis=0)
+    ub = _merge_ranks(si, size)
+    lb = jnp.concatenate([jnp.zeros((1,), ub.dtype), ub[:-1]])
+    return cs[ub] - cs[lb]
+
+
 def dense_segment_sum(indices: jnp.ndarray, values: jnp.ndarray,
                       size: int, pack_bf16: bool = True) -> jnp.ndarray:
     """indices: [M] int32 in [0, size); values: [M, F].

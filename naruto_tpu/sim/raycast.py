@@ -51,11 +51,19 @@ class RaycastSimulator(Simulator):
         super().__init__(cfg, printer)
         self._lib = _load_lib()
         if verts is None:
-            from naruto_tpu.mesh.ply import read_ply
+            path = cfg.sim.scene_path
+            if path.lower().endswith((".glb", ".gltf")):
+                # MP3D / custom NARUTO scenes ship as glb in the reference
+                # habitat pipeline (habitat_utils.py:182-215)
+                from naruto_tpu.mesh.gltf import load_gltf
 
-            verts, faces, colors_u8 = read_ply(cfg.sim.scene_path)
-            colors = (colors_u8.astype(np.float32) / 255.0
-                      if colors_u8 is not None else None)
+                verts, faces, colors = load_gltf(path)
+            else:
+                from naruto_tpu.mesh.ply import read_ply
+
+                verts, faces, colors_u8 = read_ply(path)
+                colors = (colors_u8.astype(np.float32) / 255.0
+                          if colors_u8 is not None else None)
         verts = np.ascontiguousarray(verts, dtype=np.float32)
         faces = np.ascontiguousarray(faces, dtype=np.int32)
         col_ptr = None

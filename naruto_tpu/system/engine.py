@@ -37,6 +37,19 @@ class Engine:
         self.timer = Timer()
 
         fix_random_seed(cfg.general.seed)
+        # the simulator must render exactly the mapper's sensor size —
+        # cam.{H,W} and sim.pinhole_hw are separate config sections (the
+        # reference splits them the same way: coslam.yaml cam vs habitat.py
+        # sensors) and a silent mismatch only surfaces as a shape error
+        # deep inside frame_to_rays
+        ph = tuple(cfg.sim.pinhole_hw)
+        cam_hw = (cfg.cam.H // cfg.cam.downsample,
+                  cfg.cam.W // cfg.cam.downsample)
+        if ph != cam_hw:
+            raise ValueError(
+                f"sim.pinhole_hw {ph} != cam (H/downsample, W/downsample) "
+                f"{cam_hw}; set both config sections to the same sensor "
+                f"size")
         self.sim = init_simulator(cfg, self.printer)
         self.mapper = Mapper(cfg, self.printer)
         self.planner = init_planner(cfg, self.printer)
@@ -59,9 +72,11 @@ class Engine:
     def _init_pose(self) -> np.ndarray:
         c2w = self.pose_loader.load_init_pose()
         if self.cfg.enable_active_planning and self.pose_loader.traj is None \
-                and np.allclose(c2w, np.eye(4)):
-            # asset-free runs start at the room center (always free space in
-            # the analytic scenes); the reference's start_c2w is per-scene
+                and self.cfg.start_c2w is None:
+            # no per-scene start configured: asset-free runs start at the
+            # room center (always free space in the analytic scenes). With a
+            # configured start_c2w the pose loader's value is used verbatim
+            # (ref configs/<ds>/<scene>/NARUTO.py start_c2w).
             bound = self.cfg.mapper.bound_np
             c2w = np.eye(4, dtype=np.float32)
             c2w[:3, 3] = bound.mean(axis=1)
@@ -144,6 +159,7 @@ class Engine:
 
         # asset-free runs: export the analytic scene's exact GT mesh so the
         # recon metrics can be computed without external data
+        gt_path = None
         if hasattr(self.sim, "gt_occupancy_volume"):
             from naruto_tpu.mesh.marching import marching_cubes
             from naruto_tpu.mesh.ply import write_ply
@@ -152,6 +168,30 @@ class Engine:
             gt_sdf = self.sim.gt_occupancy_volume(vs)
             v_vox, f = marching_cubes(gt_sdf, truncation=1e9)
             bound = cfg.mapper.bound_np
-            write_ply(os.path.join(out, "gt_mesh.ply"),
-                      v_vox * vs + bound[:, 0], f)
+            gt_path = os.path.join(out, "gt_mesh.ply")
+            write_ply(gt_path, v_vox * vs + bound[:, 0], f)
+        elif cfg.sim.scene_path.endswith(".ply") \
+                and os.path.exists(cfg.sim.scene_path):
+            gt_path = cfg.sim.scene_path
+
+        # full metric row — acc/comp/ratio/MAD merged next to traj_length
+        # (ref eval_replica.sh pipeline + update_results_file,
+        #  src/utils/general_utils.py:163-188)
+        if cfg.general.final_eval and gt_path is not None:
+            try:
+                from naruto_tpu.evaluation import eval_mad, eval_mesh
+                from naruto_tpu.mesh.ply import read_ply
+
+                rec_v, rec_f, _ = read_ply(os.path.join(
+                    out, f"mesh_{cfg.general.num_iter:04d}_final.ply"))
+                gt_v, gt_f, _ = read_ply(gt_path)
+                row = eval_mesh(rec_v, rec_f, gt_v, gt_f)
+                row["mad_cm"] = eval_mad(self.mapper, gt_v, gt_f)
+                update_results_file(row, os.path.join(out, "eval_result.txt"))
+                self.printer(
+                    "Eval: " + " ".join(f"{k}={v:.3f}" for k, v in row.items()),
+                    cfg.general.num_iter, "Eval")
+            except Exception as e:  # noqa: BLE001 — eval is best-effort
+                self.printer(f"final eval failed: {e}",
+                             cfg.general.num_iter, "Eval")
         self.timer.time_analysis()

@@ -44,8 +44,14 @@ class PoseLoader:
             self.traj = load_traj_file(traj_path, cfg.general.dataset)
 
     def load_init_pose(self) -> np.ndarray:
+        """Initial pose priority (ref pose_loader.py:106-142): active +
+        use_traj_pose -> traj[0]; active -> configured start_c2w (identity
+        if unset); passive -> traj[0]. z clipped to rrt_z_range if set."""
         if self.cfg.enable_active_planning and self.traj is None:
-            c2w = np.eye(4, dtype=np.float32)
+            if self.cfg.start_c2w is not None:
+                c2w = np.asarray(self.cfg.start_c2w, dtype=np.float32).copy()
+            else:
+                c2w = np.eye(4, dtype=np.float32)
         else:
             c2w = self.traj[0].copy()
         zr = self.cfg.planner.rrt_z_range

@@ -1,0 +1,156 @@
+"""GLB/glTF reader tests: synthetic assets round-tripped through the loader
+and the C++ raycaster (MP3D-format asset path — VERDICT r1 item 4)."""
+import json
+import struct
+import zlib
+
+import numpy as np
+import pytest
+
+from naruto_tpu.mesh.gltf import decode_png, load_gltf
+
+
+def _png_bytes(img_u8: np.ndarray) -> bytes:
+    """Minimal PNG writer (8-bit RGB, filter 0)."""
+    h, w, _ = img_u8.shape
+    raw = b"".join(b"\x00" + img_u8[y].tobytes() for y in range(h))
+
+    def chunk(ctype, data):
+        c = ctype + data
+        return struct.pack(">I", len(data)) + c + struct.pack(
+            ">I", zlib.crc32(c))
+
+    return (b"\x89PNG\r\n\x1a\n"
+            + chunk(b"IHDR", struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0))
+            + chunk(b"IDAT", zlib.compress(raw))
+            + chunk(b"IEND", b""))
+
+
+def _glb_bytes(gltf: dict, bin_chunk: bytes) -> bytes:
+    js = json.dumps(gltf).encode()
+    js += b" " * ((4 - len(js) % 4) % 4)
+    bin_chunk += b"\x00" * ((4 - len(bin_chunk) % 4) % 4)
+    total = 12 + 8 + len(js) + 8 + len(bin_chunk)
+    return (struct.pack("<4sII", b"glTF", 2, total)
+            + struct.pack("<I4s", len(js), b"JSON") + js
+            + struct.pack("<I4s", len(bin_chunk), b"BIN\x00") + bin_chunk)
+
+
+def _make_glb(tmp_path, with_texture=False):
+    """Two-node scene: a colored XY quad at z=+2 (node translation) and a
+    single triangle (textured if requested)."""
+    verts = np.array([[-1, -1, 0], [1, -1, 0], [1, 1, 0], [-1, 1, 0]],
+                     np.float32)
+    faces = np.array([[0, 1, 2], [0, 2, 3]], np.uint16)
+    colors = np.array([[1, 0, 0], [0, 1, 0], [0, 0, 1], [1, 1, 0]],
+                      np.float32)
+    tri = np.array([[0, 0, 0], [1, 0, 0], [0, 1, 0]], np.float32)
+    tri_f = np.array([[0, 1, 2]], np.uint16)
+    uv = np.array([[0, 0], [1, 0], [0, 1]], np.float32)
+
+    img = np.zeros((4, 4, 3), np.uint8)
+    img[..., 0] = 255                        # red texture
+    png = _png_bytes(img)
+
+    blobs, views, accessors = [], [], []
+
+    def add(data, target=None):
+        off = sum(len(b) for b in blobs)
+        pad = (4 - off % 4) % 4
+        if pad:
+            blobs.append(b"\x00" * pad)
+            off += pad
+        blobs.append(data)
+        views.append({"buffer": 0, "byteOffset": off,
+                      "byteLength": len(data)})
+        return len(views) - 1
+
+    def acc(view, ctype, count, type_, normalized=False):
+        a = {"bufferView": view, "componentType": ctype, "count": count,
+             "type": type_}
+        if normalized:
+            a["normalized"] = True
+        accessors.append(a)
+        return len(accessors) - 1
+
+    v_quad = acc(add(verts.tobytes()), 5126, 4, "VEC3")
+    f_quad = acc(add(faces.tobytes()), 5123, 6, "SCALAR")
+    c_quad = acc(add(colors.tobytes()), 5126, 4, "VEC3")
+    v_tri = acc(add(tri.tobytes()), 5126, 3, "VEC3")
+    f_tri = acc(add(tri_f.tobytes()), 5123, 3, "SCALAR")
+    uv_tri = acc(add(uv.tobytes()), 5126, 3, "VEC2")
+    img_view = add(png)
+
+    prim_quad = {"attributes": {"POSITION": v_quad, "COLOR_0": c_quad},
+                 "indices": f_quad}
+    prim_tri = {"attributes": {"POSITION": v_tri}, "indices": f_tri}
+    gltf = {
+        "asset": {"version": "2.0"},
+        "scene": 0,
+        "scenes": [{"nodes": [0, 1]}],
+        "nodes": [{"mesh": 0, "translation": [0, 0, 2]},
+                  {"mesh": 1}],
+        "meshes": [{"primitives": [prim_quad]},
+                   {"primitives": [prim_tri]}],
+        "bufferViews": views,
+        "accessors": accessors,
+        "buffers": [{"byteLength": sum(len(b) for b in blobs)}],
+    }
+    if with_texture:
+        prim_tri["attributes"]["TEXCOORD_0"] = uv_tri
+        prim_tri["material"] = 0
+        gltf["materials"] = [{"pbrMetallicRoughness":
+                              {"baseColorTexture": {"index": 0}}}]
+        gltf["textures"] = [{"source": 0}]
+        gltf["images"] = [{"bufferView": img_view, "mimeType": "image/png"}]
+
+    path = tmp_path / "scene.glb"
+    path.write_bytes(_glb_bytes(gltf, b"".join(blobs)))
+    return str(path)
+
+
+def test_png_roundtrip():
+    rng = np.random.default_rng(0)
+    img = rng.integers(0, 256, (7, 5, 3), np.uint8)
+    out = decode_png(_png_bytes(img))
+    np.testing.assert_allclose(out, img.astype(np.float32) / 255.0,
+                               atol=1e-6)
+
+
+def test_load_glb_geometry_and_colors(tmp_path):
+    path = _make_glb(tmp_path)
+    v, f, c = load_gltf(path, quiet=True)
+    assert v.shape == (7, 3) and f.shape == (3, 3)
+    # node translation baked into the quad
+    np.testing.assert_allclose(v[:4, 2], 2.0)
+    np.testing.assert_allclose(c[0], [1, 0, 0], atol=1e-6)
+    np.testing.assert_allclose(c[3], [1, 1, 0], atol=1e-6)
+    assert f.max() == 6
+
+
+def test_load_glb_textured(tmp_path):
+    path = _make_glb(tmp_path, with_texture=True)
+    v, f, c = load_gltf(path, quiet=True)
+    # textured triangle vertices sample the red texture
+    np.testing.assert_allclose(c[4:], [[1, 0, 0]] * 3, atol=0.02)
+
+
+def test_raycast_renders_glb(tmp_path):
+    """The raycast simulator accepts a .glb scene and returns a hit on the
+    quad at z=+2 when looking along +z (RDF)."""
+    path = _make_glb(tmp_path)
+    from naruto_tpu.config import make_config
+    from naruto_tpu.sim.raycast import RaycastSimulator
+
+    cfg = make_config("Replica", "office0", overrides={
+        "sim": {"method": "raycast", "scene_path": path,
+                "pinhole_hw": (32, 32), "erp_hw": (16, 32)},
+        "cam": {"H": 32, "W": 32, "fx": 16.0, "fy": 16.0,
+                "cx": 15.5, "cy": 15.5},
+    })
+    sim = RaycastSimulator(cfg)
+    c2w = np.eye(4, dtype=np.float32)
+    color, depth = sim.simulate(c2w)[:2]
+    center = depth[14:18, 14:18]
+    np.testing.assert_allclose(center, 2.0, atol=1e-3)
+    assert color[16, 16].sum() > 0.05       # interpolated vertex colors

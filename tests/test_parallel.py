@@ -91,6 +91,59 @@ def test_graft_entry_contract():
     mod.dryrun_multichip(8)
 
 
+def test_production_ba_grads_sharded_vs_single():
+    """The PRODUCTION mapper gradient (active rays, smoothness riding the
+    render batch, uncertainty grid) computed through the shard_map path on
+    the 8-device mesh equals the single-device gradient (psum'd global
+    denominators + shared z-noise draw make it exact up to reduction
+    order)."""
+    import importlib.util
+    import pathlib
+
+    path = pathlib.Path(__file__).resolve().parents[1] / "__graft_entry__.py"
+    s = importlib.util.spec_from_file_location("graft_entry2", path)
+    mod = importlib.util.module_from_spec(s)
+    s.loader.exec_module(mod)
+
+    from naruto_tpu.config.schema import deep_update
+    from naruto_tpu.mapping.mapper import Mapper
+
+    cfg_sh = mod.tiny_mapper_config(8)
+    cfg_single = deep_update(cfg_sh, {"parallel": {"shard_rays": False}})
+    m_sh = Mapper(cfg_sh)
+    m_single = Mapper(cfg_single)
+    assert m_sh._ba_mesh is not None and m_single._ba_mesh is None
+    m_single.state = m_single.state._replace(params=m_sh.state.params)
+
+    n = 192   # base + keep_cap of the active-ray batch shape
+    key = jax.random.PRNGKey(3)
+    k1, k2, k3 = jax.random.split(key, 3)
+    rays_o = jax.random.normal(k1, (n, 3)) * 0.1
+    rays_d = jnp.concatenate(
+        [jax.random.normal(k2, (n, 2)) * 0.2, jnp.ones((n, 1))], -1)
+    rgb = jnp.full((n, 3), 0.4)
+    d = jnp.full((n, 1), 0.9)
+    mask = jnp.ones((n,))
+
+    g_sh = jax.jit(m_sh._grad_fn, static_argnums=(7,))(
+        m_sh.state.params, k3, rays_o, rays_d, rgb, d, mask, True)
+    g_ref = jax.jit(m_single._grad_fn, static_argnums=(7,))(
+        m_single.state.params, k3, rays_o, rays_d, rgb, d, mask, True)
+    # tolerance floor: the table gradient runs through the sort+cumsum
+    # segment sum, whose run-boundary differences of large prefix sums
+    # carry O(eps * |cs|) cancellation noise that differs between one
+    # global cumsum and 8 per-shard cumsums; everything else is plain
+    # data-parallel reduction reassociation.
+    for k in ("table", "uncert_grid"):
+        np.testing.assert_allclose(np.asarray(g_sh[k]),
+                                   np.asarray(g_ref[k]),
+                                   rtol=1e-3, atol=2e-5)
+    for a, b in zip(jax.tree_util.tree_leaves(g_sh["sdf_mlp"]),
+                    jax.tree_util.tree_leaves(g_ref["sdf_mlp"])):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-3, atol=1e-5)
+
+
 def test_mapper_sharded_volumes():
     """Mapper with parallel.shard_volumes on the 8-device CPU mesh matches
     the single-device volume query."""

@@ -5,7 +5,7 @@ import numpy as np
 
 from naruto_tpu.ops.encoding import HashGridSpec, hash_encode, init_hash_table
 from naruto_tpu.ops.grid_sample import trilinear_sample, trilinear_interp_volume
-from naruto_tpu.ops.segment import dense_segment_sum
+from naruto_tpu.ops.segment import dense_segment_sum, dense_segment_sum_outer
 
 
 class TestSegmentSum:
@@ -37,6 +37,23 @@ class TestSegmentSum:
         assert out[3, 0] == 2.0 and out[7, 0] == 1.0
         assert out.sum() == 3.0
 
+    def test_outer_matches_scatter(self, rng):
+        """Rank-1 outer-product segment sum (cell-layout backward)."""
+        size = 64
+        m = 3000
+        idx = jnp.asarray(rng.integers(0, size, m), dtype=jnp.int32)
+        a = jnp.asarray(rng.normal(size=(m, 8)).astype(np.float32))
+        b = jnp.asarray(rng.normal(size=(m, 4)).astype(np.float32))
+        out = dense_segment_sum_outer(idx, a, b, size)
+        a16 = np.asarray(a.astype(jnp.bfloat16).astype(jnp.float32))
+        b16 = np.asarray(b.astype(jnp.bfloat16).astype(jnp.float32))
+        ref = np.zeros((size, 32), np.float32)
+        np.add.at(ref, np.asarray(idx),
+                  (a16[:, :, None] * b16[:, None, :]).reshape(m, 32))
+        scale = np.abs(ref).max()
+        np.testing.assert_allclose(np.asarray(out) / scale, ref / scale,
+                                   atol=5e-3)
+
 
 class TestHashEncodeVJP:
     def test_table_grad_matches_autodiff_reference(self, rng):
@@ -65,6 +82,58 @@ class TestHashEncodeVJP:
         scale = float(np.abs(np.asarray(ref_gt)).max()) + 1e-12
         np.testing.assert_allclose(np.asarray(gt) / scale,
                                    np.asarray(ref_gt) / scale, atol=6e-3)
+
+    def test_cell_layout_table_grad_matches_autodiff(self, rng):
+        """Cell layout: custom backward equals the autodiff reference of
+        the same wide-row blend."""
+        spec = HashGridSpec(n_levels=3, log2_table_size=10,
+                            base_resolution=4, finest_resolution=16,
+                            layout="cell")
+        table = init_hash_table(jax.random.PRNGKey(0), spec)
+        assert table.shape[1] == 8 * spec.n_features
+        x = jnp.asarray(rng.uniform(0.05, 0.95, (50, 3)).astype(np.float32))
+        g = jnp.asarray(rng.normal(size=(50, spec.output_dim))
+                        .astype(np.float32))
+
+        def ref_encode(t):
+            from naruto_tpu.ops.encoding import _cell_indices
+            idx, w = _cell_indices(x, spec)
+            feats = jnp.take(t, idx.reshape(-1), axis=0).reshape(
+                50, spec.n_levels, 8, spec.n_features)
+            return jnp.sum(feats * w[..., None], axis=2).reshape(
+                50, spec.output_dim)
+
+        out_ref = ref_encode(table)
+        out = hash_encode(table, x, spec)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(out_ref),
+                                   rtol=1e-5, atol=1e-7)
+
+        _, ref_vjp = jax.vjp(ref_encode, table)
+        (ref_gt,) = ref_vjp(g)
+        _, vjp = jax.vjp(lambda t: hash_encode(t, x, spec), table)
+        (gt,) = vjp(g)
+        scale = float(np.abs(np.asarray(ref_gt)).max()) + 1e-12
+        np.testing.assert_allclose(np.asarray(gt) / scale,
+                                   np.asarray(ref_gt) / scale, atol=6e-3)
+
+    def test_cell_layout_input_grad_finite_difference(self, rng):
+        spec = HashGridSpec(n_levels=2, log2_table_size=10,
+                            base_resolution=4, finest_resolution=8,
+                            layout="cell")
+        table = init_hash_table(jax.random.PRNGKey(0), spec) * 1e4
+        x0 = jnp.asarray([[0.331, 0.472, 0.613]], dtype=jnp.float32)
+        g = jnp.ones((1, spec.output_dim))
+        _, vjp = jax.vjp(lambda x: hash_encode(table, x, spec), x0)
+        (gx,) = vjp(g)
+        eps = 1e-4
+        for a in range(3):
+            dx = np.zeros((1, 3), np.float32)
+            dx[0, a] = eps
+            f1 = hash_encode(table, x0 + dx, spec).sum()
+            f0 = hash_encode(table, x0 - dx, spec).sum()
+            fd = float(f1 - f0) / (2 * eps)
+            np.testing.assert_allclose(float(gx[0, a]), fd, rtol=2e-2,
+                                       atol=1e-3)
 
     def test_input_grad_finite_difference(self, rng):
         spec = HashGridSpec(n_levels=2, log2_table_size=10,
