@@ -31,12 +31,19 @@ def main() -> None:
 
     enable_compilation_cache()
 
+    import os
+
     from naruto_tpu.config import make_config
     from naruto_tpu.config.schema import deep_update
     from naruto_tpu.geometry.rays import get_camera_rays
     from naruto_tpu.mapping.mapper import Mapper
 
     cfg = make_config("Replica", "office0")
+    # optional experiment overrides, e.g.
+    #   NARUTO_BENCH_CFG='{"grid": {"layout": "cell"}}' python bench.py
+    env_over = os.environ.get("NARUTO_BENCH_CFG")
+    if env_over:
+        cfg = deep_update(cfg, json.loads(env_over))
     mapper = Mapper(cfg)
     H, W = mapper.H, mapper.W
 

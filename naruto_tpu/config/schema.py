@@ -231,6 +231,15 @@ class SimConfig:
     erp_hw: Tuple[int, int] = (1024, 2048)
     invalid_depth_value: float = 1e8   # ref: habitat_simulator.py:142
     analytic_scene: str = "box_room"   # analytic backend scene preset
+    # dynamic rigid objects for the raycast backend — parity with the
+    # reference's object profiles (habitat_utils.py:342-426). Each entry:
+    # {template: "sphere:0.2" | "box:..." | mesh path,
+    #  location/velocity/angular_velocity: [x,y,z] in the START camera
+    #  frame, rotation: [deg, ax, ay, az]}
+    objects: Optional[List[Dict[str, Any]]] = None
+    # per-frame physics step (s); 0 = objects only settle once at init
+    # (active-loop parity); the reference's scripted loop uses 1/30
+    physics_dt: float = 0.0
 
 
 @dataclass

@@ -135,11 +135,15 @@ struct Mesh {
         if (std::fabs(det) < 1e-12f) return;
         float inv = 1.0f / det;
         V3 s = o - a;
+        // small barycentric tolerance: rays crossing exactly on a shared
+        // edge/diagonal must not fall through the crack between the two
+        // adjacent triangles (watertightness)
+        const float EPS = 1e-6f;
         float u = dot(s, p) * inv;
-        if (u < 0.0f || u > 1.0f) return;
+        if (u < -EPS || u > 1.0f + EPS) return;
         V3 q = cross(s, e1);
         float v = dot(d, q) * inv;
-        if (v < 0.0f || u + v > 1.0f) return;
+        if (v < -EPS || u + v > 1.0f + EPS) return;
         float t_hit = dot(e2, q) * inv;
         if (t_hit > 1e-5f && t_hit < h.t) {
             h.t = t_hit;
@@ -191,13 +195,59 @@ struct Mesh {
     }
 };
 
+// Dynamic rigid object: mesh in object-local coordinates + a rigid world
+// pose. Rays are transformed into object space (two-level BVH without
+// refitting) - parity with the reference's habitat rigid-object manager
+// (habitat_utils.py:342-426; poses advanced host-side by the Python layer's
+// step_physics, matching habitat's step_physics call sites).
+struct Object {
+    Mesh mesh;
+    // world->object rigid transform, row-major 3x4
+    float w2o[12] = {1, 0, 0, 0, 0, 1, 0, 0, 0, 0, 1, 0};
+
+    V3 to_obj_point(V3 p) const {
+        return {w2o[0] * p.x + w2o[1] * p.y + w2o[2] * p.z + w2o[3],
+                w2o[4] * p.x + w2o[5] * p.y + w2o[6] * p.z + w2o[7],
+                w2o[8] * p.x + w2o[9] * p.y + w2o[10] * p.z + w2o[11]};
+    }
+    V3 to_obj_dir(V3 d) const {
+        return {w2o[0] * d.x + w2o[1] * d.y + w2o[2] * d.z,
+                w2o[4] * d.x + w2o[5] * d.y + w2o[6] * d.z,
+                w2o[8] * d.x + w2o[9] * d.y + w2o[10] * d.z};
+    }
+};
+
+struct Scene {
+    Mesh base;
+    std::vector<Object*> objs;
+    ~Scene() {
+        for (Object* o : objs) delete o;
+    }
+
+    // trace static mesh + all objects; returns the winning mesh for shading
+    const Mesh* trace_all(V3 o, V3 d, Hit& best) const {
+        best = base.trace(o, d);
+        const Mesh* mesh = &base;
+        for (const Object* obj : objs) {
+            Hit h = obj->mesh.trace(obj->to_obj_point(o), obj->to_obj_dir(d));
+            if (h.tri >= 0 && h.t < best.t) {
+                best = h;
+                mesh = &obj->mesh;
+            }
+        }
+        if (best.tri < 0) mesh = nullptr;
+        return mesh;
+    }
+};
+
 }  // namespace
 
 extern "C" {
 
 void* rc_create(const float* verts, int n_verts, const float* colors,
                 const int* tris, int n_tris) {
-    Mesh* m = new Mesh();
+    Scene* s = new Scene();
+    Mesh* m = &s->base;
     m->verts.resize(n_verts);
     memcpy(m->verts.data(), verts, sizeof(float) * 3 * n_verts);
     if (colors) {
@@ -206,16 +256,61 @@ void* rc_create(const float* verts, int n_verts, const float* colors,
     }
     m->tris.assign(tris, tris + 3 * n_tris);
     m->build();
-    return m;
+    return s;
 }
 
-void rc_destroy(void* h) { delete (Mesh*)h; }
+void rc_destroy(void* h) { delete (Scene*)h; }
+
+// add a rigid object (object-local vertices); returns its id
+int rc_add_object(void* h, const float* verts, int n_verts,
+                  const float* colors, const int* tris, int n_tris) {
+    Scene* s = (Scene*)h;
+    Object* obj = new Object();
+    obj->mesh.verts.resize(n_verts);
+    memcpy(obj->mesh.verts.data(), verts, sizeof(float) * 3 * n_verts);
+    if (colors) {
+        obj->mesh.colors.resize(n_verts);
+        memcpy(obj->mesh.colors.data(), colors, sizeof(float) * 3 * n_verts);
+    }
+    obj->mesh.tris.assign(tris, tris + 3 * n_tris);
+    obj->mesh.build();
+    s->objs.push_back(obj);
+    return (int)s->objs.size() - 1;
+}
+
+// set an object's rigid object->world pose (row-major 4x4); the inverse is
+// stored for ray transformation
+void rc_set_object_pose(void* h, int obj_id, const float* o2w) {
+    Scene* s = (Scene*)h;
+    if (obj_id < 0 || obj_id >= (int)s->objs.size()) return;
+    Object* obj = s->objs[obj_id];
+    // inverse of rigid [R|t]: [R^T | -R^T t]
+    float r[9] = {o2w[0], o2w[1], o2w[2], o2w[4], o2w[5],
+                  o2w[6], o2w[8], o2w[9], o2w[10]};
+    float t[3] = {o2w[3], o2w[7], o2w[11]};
+    // R^T rows
+    obj->w2o[0] = r[0];
+    obj->w2o[1] = r[3];
+    obj->w2o[2] = r[6];
+    obj->w2o[4] = r[1];
+    obj->w2o[5] = r[4];
+    obj->w2o[6] = r[7];
+    obj->w2o[8] = r[2];
+    obj->w2o[9] = r[5];
+    obj->w2o[10] = r[8];
+    obj->w2o[3] = -(obj->w2o[0] * t[0] + obj->w2o[1] * t[1]
+                    + obj->w2o[2] * t[2]);
+    obj->w2o[7] = -(obj->w2o[4] * t[0] + obj->w2o[5] * t[1]
+                    + obj->w2o[6] * t[2]);
+    obj->w2o[11] = -(obj->w2o[8] * t[0] + obj->w2o[9] * t[1]
+                     + obj->w2o[10] * t[2]);
+}
 
 // c2w: row-major 4x4, RDF camera-to-world
 void rc_render_pinhole(void* h, const float* c2w, int H, int W, float fx,
                        float fy, float cx, float cy, float* out_color,
                        float* out_depth) {
-    const Mesh* m = (const Mesh*)h;
+    const Scene* m = (const Scene*)h;
     V3 o = {c2w[3], c2w[7], c2w[11]};
     V3 r0 = {c2w[0], c2w[4], c2w[8]};
     V3 r1 = {c2w[1], c2w[5], c2w[9]};
@@ -227,10 +322,11 @@ void rc_render_pinhole(void* h, const float* c2w, int H, int W, float fx,
             V3 d_cam = {dx, dy, 1.0f};
             float nrm = std::sqrt(dot(d_cam, d_cam));
             V3 d = r0 * (dx / nrm) + r1 * (dy / nrm) + r2 * (1.0f / nrm);
-            Hit hit = m->trace(o, d);
+            Hit hit;
+            const Mesh* hm = m->trace_all(o, d, hit);
             int idx = v * W + u;
-            if (hit.tri >= 0) {
-                V3 c = m->shade(hit);
+            if (hm) {
+                V3 c = hm->shade(hit);
                 out_color[3 * idx] = c.x;
                 out_color[3 * idx + 1] = c.y;
                 out_color[3 * idx + 2] = c.z;
@@ -246,7 +342,7 @@ void rc_render_pinhole(void* h, const float* c2w, int H, int W, float fx,
 
 void rc_render_erp(void* h, const float* c2w, int H, int W,
                    float invalid_value, float* out_color, float* out_dist) {
-    const Mesh* m = (const Mesh*)h;
+    const Scene* m = (const Scene*)h;
     V3 o = {c2w[3], c2w[7], c2w[11]};
     V3 r0 = {c2w[0], c2w[4], c2w[8]};
     V3 r1 = {c2w[1], c2w[5], c2w[9]};
@@ -261,10 +357,11 @@ void rc_render_erp(void* h, const float* c2w, int H, int W,
             // RDF: x right, y down, z forward
             V3 d_cam = {ct * std::sin(phi), -st, ct * std::cos(phi)};
             V3 d = r0 * d_cam.x + r1 * d_cam.y + r2 * d_cam.z;
-            Hit hit = m->trace(o, d);
+            Hit hit;
+            const Mesh* hm = m->trace_all(o, d, hit);
             int idx = v * W + u;
-            if (hit.tri >= 0) {
-                V3 c = m->shade(hit);
+            if (hm) {
+                V3 c = hm->shade(hit);
                 out_color[3 * idx] = c.x;
                 out_color[3 * idx + 1] = c.y;
                 out_color[3 * idx + 2] = c.z;

@@ -35,7 +35,74 @@ def _load_lib():
     lib.rc_render_erp.argtypes = [
         ctypes.c_void_p, fp, ctypes.c_int, ctypes.c_int, ctypes.c_float,
         fp, fp]
+    lib.rc_add_object.restype = ctypes.c_int
+    lib.rc_add_object.argtypes = [ctypes.c_void_p, fp, ctypes.c_int, fp, ip,
+                                  ctypes.c_int]
+    lib.rc_set_object_pose.argtypes = [ctypes.c_void_p, ctypes.c_int, fp]
     return lib
+
+
+def _primitive_mesh(template: str):
+    """Procedural object meshes: "sphere:R" (uv-sphere) or
+    "box:sx,sy,sz" — stand-ins for the reference's object template assets
+    (habitat_utils.py:369-371); mesh-file templates load via ply/gltf."""
+    kind, _, arg = template.partition(":")
+    if kind == "sphere":
+        r = float(arg or 0.2)
+        n_lat, n_lon = 12, 18
+        lat = np.linspace(0, np.pi, n_lat)
+        lon = np.linspace(0, 2 * np.pi, n_lon, endpoint=False)
+        verts = []
+        for th in lat:
+            for ph in lon:
+                verts.append([r * np.sin(th) * np.cos(ph),
+                              r * np.cos(th),
+                              r * np.sin(th) * np.sin(ph)])
+        verts = np.asarray(verts, np.float32)
+        faces = []
+        for i in range(n_lat - 1):
+            for j in range(n_lon):
+                a = i * n_lon + j
+                b = i * n_lon + (j + 1) % n_lon
+                c = (i + 1) * n_lon + j
+                d = (i + 1) * n_lon + (j + 1) % n_lon
+                faces += [[a, b, c], [b, d, c]]
+        faces = np.asarray(faces, np.int32)
+        colors = np.full((len(verts), 3), (0.9, 0.3, 0.2), np.float32)
+        return verts, faces, colors
+    if kind == "box":
+        s = np.asarray([float(v) for v in (arg or "0.3,0.3,0.3").split(",")],
+                       np.float32) / 2.0
+        v = np.array([[x, y, z] for x in (-1, 1) for y in (-1, 1)
+                      for z in (-1, 1)], np.float32) * s
+        quads = [(0, 2, 3, 1), (4, 5, 7, 6), (0, 1, 5, 4),
+                 (2, 6, 7, 3), (0, 4, 6, 2), (1, 3, 7, 5)]
+        faces = []
+        for a, b, c, d in quads:
+            faces += [[a, b, c], [a, c, d]]
+        colors = np.full((8, 3), (0.2, 0.5, 0.9), np.float32)
+        return v, np.asarray(faces, np.int32), colors
+    raise ValueError(f"unknown object template {template!r}")
+
+
+def _load_object_mesh(template: str):
+    if template.lower().endswith((".ply",)):
+        from naruto_tpu.mesh.ply import read_ply
+
+        v, f, c = read_ply(template)
+        return (v.astype(np.float32), f.astype(np.int32),
+                c.astype(np.float32) / 255.0 if c is not None else None)
+    if template.lower().endswith((".glb", ".gltf")):
+        from naruto_tpu.mesh.gltf import load_gltf
+
+        return load_gltf(template)
+    return _primitive_mesh(template)
+
+
+def _rotvec_matrix(rotvec: np.ndarray) -> np.ndarray:
+    from scipy.spatial.transform import Rotation
+
+    return Rotation.from_rotvec(rotvec).as_matrix().astype(np.float32)
 
 
 def _fp(arr: np.ndarray):
@@ -75,6 +142,85 @@ class RaycastSimulator(Simulator):
             faces.ctypes.data_as(ctypes.POINTER(ctypes.c_int)), len(faces))
         self._keepalive = (verts, faces, colors)
         self.invalid = cfg.sim.invalid_depth_value
+
+        # dynamic rigid objects — parity with habitat_utils.simulate_objects
+        # (:342-426): location/velocity/angular-velocity given in the START
+        # camera frame, one initial 1.0 s physics step
+        # (habitat_simulator.py:78), per-frame stepping only when
+        # sim.physics_dt > 0 (the reference's offline scripted loop steps
+        # 1/30 s per frame, habitat_utils.py:581)
+        self._obj_states: list = []
+        if cfg.sim.objects:
+            self._spawn_objects(cfg.sim.objects)
+            self.step_physics(1.0)
+
+    # ---------------------------------------------------- dynamic objects
+    def _spawn_objects(self, specs) -> None:
+        start = (np.asarray(self.cfg.start_c2w, dtype=np.float32)
+                 if self.cfg.start_c2w is not None
+                 else np.eye(4, dtype=np.float32))
+        R_cam, t_cam = start[:3, :3], start[:3, 3]
+        for spec in specs:
+            v, f, c = _load_object_mesh(spec["template"])
+            loc = np.asarray(spec.get("location", (0, 0, 1)), np.float32)
+            vel = np.asarray(spec.get("velocity", (0, 0, 0)), np.float32)
+            ang = np.asarray(spec.get("angular_velocity", (0, 0, 0)),
+                             np.float32)
+            rot = spec.get("rotation")  # [deg, x, y, z] like rotate_local
+            R0 = np.eye(3, dtype=np.float32)
+            if rot is not None:
+                axis = np.asarray(rot[1:4], np.float32)
+                axis = axis / max(np.linalg.norm(axis), 1e-9)
+                R0 = _rotvec_matrix(axis * np.deg2rad(rot[0]))
+            obj_id = self.add_object(v, f, c)
+            self._obj_states.append({
+                "id": obj_id,
+                "pos": R_cam @ loc + t_cam,           # camera -> world
+                "vel": R_cam @ vel,
+                "angvel": R_cam @ ang,                # rad/s, world frame
+                "rot": R0,
+            })
+            self._set_pose_from_state(self._obj_states[-1])
+
+    def add_object(self, verts: np.ndarray, faces: np.ndarray,
+                   colors: Optional[np.ndarray] = None) -> int:
+        verts = np.ascontiguousarray(verts, dtype=np.float32)
+        faces = np.ascontiguousarray(faces, dtype=np.int32)
+        col_ptr = None
+        if colors is not None:
+            colors = np.ascontiguousarray(colors, dtype=np.float32)
+            col_ptr = _fp(colors)
+        return int(self._lib.rc_add_object(
+            self._handle, _fp(verts), len(verts), col_ptr,
+            faces.ctypes.data_as(ctypes.POINTER(ctypes.c_int)), len(faces)))
+
+    def set_object_pose(self, obj_id: int, o2w: np.ndarray) -> None:
+        pose = np.ascontiguousarray(
+            np.asarray(o2w, dtype=np.float32)).reshape(16)
+        self._lib.rc_set_object_pose(self._handle, obj_id, _fp(pose))
+
+    def _set_pose_from_state(self, st) -> None:
+        T = np.eye(4, dtype=np.float32)
+        T[:3, :3] = st["rot"]
+        T[:3, 3] = st["pos"]
+        self.set_object_pose(st["id"], T)
+
+    def step_physics(self, dt: float) -> None:
+        """Advance rigid-object states: constant linear/angular velocity
+        integration (the reference delegates to Bullet via habitat's
+        step_physics; gravity/contacts are out of scope here — constant
+        velocities match the shipped motion profiles)."""
+        for st in self._obj_states:
+            st["pos"] = st["pos"] + st["vel"] * dt
+            w = st["angvel"] * dt
+            if np.linalg.norm(w) > 0:
+                st["rot"] = _rotvec_matrix(w) @ st["rot"]
+            self._set_pose_from_state(st)
+
+    def update_step(self, step: int) -> None:
+        super().update_step(step)
+        if self._obj_states and self.cfg.sim.physics_dt > 0:
+            self.step_physics(self.cfg.sim.physics_dt)
 
     def __del__(self):
         if getattr(self, "_handle", None):

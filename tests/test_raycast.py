@@ -84,3 +84,67 @@ class TestRaycast:
         row1 = d1[16]
         row2 = np.roll(d2[16], shift)
         np.testing.assert_allclose(row1, row2, atol=0.1)
+
+
+class TestDynamicObjects:
+    """Dynamic rigid objects in the C++ backend — parity with the
+    reference's object profiles (habitat_utils.py:342-426)."""
+
+    def _make_sim(self, objects, physics_dt=0.0):
+        from naruto_tpu.sim.raycast import RaycastSimulator
+
+        cfg = make_config("Replica", "office0", num_iter=10)
+        cfg = deep_update(cfg, {
+            "cam": {"H": 40, "W": 60, "fx": 30.0, "fy": 30.0, "cx": 29.5,
+                    "cy": 19.5},
+            "sim": {"method": "raycast", "pinhole_hw": (40, 60),
+                    "erp_hw": (16, 32), "objects": objects,
+                    "physics_dt": physics_dt},
+            "start_c2w": None,
+        })
+        v, f, c = box_mesh([-3, -3, -3], [3, 3, 3])
+        return RaycastSimulator(cfg, verts=v, faces=f, colors=c)
+
+    def test_static_object_occludes_wall(self):
+        # sphere 1.5m in front of the camera (start frame = identity)
+        sim = self._make_sim([{"template": "sphere:0.3",
+                               "location": [0, 0, 1.5]}])
+        _, depth = sim.simulate(np.eye(4, dtype=np.float32))
+        # center pixel hits the sphere front (1.2m), not the wall (3m)
+        np.testing.assert_allclose(depth[20, 30], 1.2, atol=0.05)
+        # corner pixel still sees the wall
+        assert depth[0, 0] > 2.0
+
+    def test_moving_object_across_frames(self):
+        # sphere starts in front, moves +x at 0.5 m/s, 1/5 s per frame;
+        # spawn includes the reference's initial 1.0 s physics settle
+        sim = self._make_sim([{"template": "sphere:0.3",
+                               "location": [0, 0, 1.5],
+                               "velocity": [0.5, 0, 0]}],
+                             physics_dt=0.2)
+        c2w = np.eye(4, dtype=np.float32)
+        _, d0 = sim.simulate(c2w)
+        # after settle the sphere center is at x=+0.5 -> center pixel sees
+        # the wall again, a right-side pixel sees the sphere
+        assert d0[20, 30] > 2.5
+        u_off = int(round(0.5 / 1.5 * 30))  # x/z * fx
+        assert d0[20, 30 + u_off] < 2.0
+        for i in range(1, 11):
+            sim.update_step(i)
+        _, d1 = sim.simulate(c2w)
+        # 10 steps x 0.2s x 0.5 m/s = +1.0m more; the old spot clears
+        assert d1[20, 30 + u_off] > 2.5
+
+    def test_object_rotation_profile(self):
+        # a thin box rotated 90 deg about y occludes differently
+        sim_plain = self._make_sim([{"template": "box:0.8,0.8,0.05",
+                                     "location": [0, 0, 1.5]}])
+        sim_rot = self._make_sim([{"template": "box:0.8,0.8,0.05",
+                                   "location": [0, 0, 1.5],
+                                   "rotation": [90, 0, 1, 0]}])
+        _, dp = sim_plain.simulate(np.eye(4, dtype=np.float32))
+        _, dr = sim_rot.simulate(np.eye(4, dtype=np.float32))
+        # face-on: broad occluder near 1.475; edge-on: center ray passes
+        # through the thin edge region occupying few pixels
+        assert (dp[15:25, 20:40] < 2.0).mean() > 0.7
+        assert (dr[15:25, 20:40] < 2.0).mean() < 0.3
