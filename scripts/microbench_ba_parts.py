@@ -1,0 +1,177 @@
+"""Decompose one BA iteration into parts and time each honestly on TPU.
+
+Run: PYTHONPATH=.:$PYTHONPATH python scripts/microbench_ba_parts.py
+"""
+from __future__ import annotations
+
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from naruto_tpu.utils.cache import enable_compilation_cache
+
+enable_compilation_cache()
+
+from naruto_tpu.config import make_config
+from naruto_tpu.config.schema import deep_update
+from naruto_tpu.mapping.field import (FieldSpec, field_query,
+                                      init_field_params)
+from naruto_tpu.mapping.losses import LossWeights, total_loss
+from naruto_tpu.mapping.render import RenderConfig, render_rays
+
+N_RAYS = 2176
+S = 43
+N_PTS = N_RAYS * S
+
+
+def bench(name, step, state, reps=10):
+    try:
+        step = jax.jit(step)
+        state = step(state)
+        state = step(state)
+        _ = float(jax.tree_util.tree_leaves(state)[0].ravel()[0])
+    except Exception as e:  # noqa
+        print(f"{name:52s} FAILED {type(e).__name__}: {str(e)[:160]}")
+        return
+    t0 = time.perf_counter()
+    for _ in range(reps):
+        state = step(state)
+    _ = float(jax.tree_util.tree_leaves(state)[0].ravel()[0])
+    print(f"{name:52s} {(time.perf_counter()-t0)/reps*1000:8.2f} ms")
+
+
+def main():
+    cfg = make_config("Replica", "office0")
+    cfg = deep_update(cfg, {"grid": {"layout": "cell"}})
+    m = cfg.mapper
+    spec = FieldSpec(
+        bound=tuple(tuple(b) for b in m.bound),
+        n_levels=cfg.grid.n_levels, n_features=cfg.grid.n_features_per_level,
+        log2_hashmap_size=cfg.grid.hash_size,
+        base_resolution=cfg.grid.base_resolution,
+        table_dtype=cfg.grid.table_dtype, table_layout=cfg.grid.layout,
+        voxel_sdf=cfg.grid.voxel_sdf)
+    rc = RenderConfig()
+    lw = LossWeights()
+    params = init_field_params(jax.random.PRNGKey(0), spec)
+    print(f"device={jax.devices()[0]} layout={spec.table_layout} "
+          f"table={params['table'].shape} pts={N_PTS}")
+
+    key = jax.random.PRNGKey(1)
+    k1, k2 = jax.random.split(key)
+    x01 = jax.random.uniform(k1, (N_PTS, 3))
+    rays_o = jax.random.uniform(k1, (N_RAYS, 3)) * 2 - 1
+    rays_d = jax.random.normal(k2, (N_RAYS, 3))
+    rays_d = rays_d / jnp.linalg.norm(rays_d, axis=-1, keepdims=True)
+    t_rgb = jax.random.uniform(k2, (N_RAYS, 3))
+    t_d = jax.random.uniform(k1, (N_RAYS, 1)) * 2 + 0.5
+    mask = jnp.ones((N_RAYS,))
+
+    # A. full loss fwd+bwd (one BA-iteration gradient, incl. smoothness)
+    def loss_fn(p, key):
+        from naruto_tpu.mapping.losses import smoothness_points
+        k_render, k_smooth = jax.random.split(key)
+        extra, _ = smoothness_points(spec, k_smooth, lw)
+        rend = render_rays(p, spec, rc, k_render, rays_o, rays_d, t_d,
+                           extra_pts01=extra)
+        loss, _ = total_loss(p, spec, rend, t_rgb, t_d, mask, k_smooth, lw)
+        return loss
+
+    def step_full(st):
+        p, key = st
+        key, k = jax.random.split(key)
+        g = jax.grad(loss_fn)(p, k)
+        p = jax.tree_util.tree_map(lambda a, b: a - 1e-9 * b, p, g)
+        return p, key
+    bench("A full loss fwd+bwd (1 iter)", step_full, (params, key))
+
+    # A2. without smoothness
+    def loss_ns(p, key):
+        rend = render_rays(p, spec, rc, key, rays_o, rays_d, t_d)
+        loss, _ = total_loss(p, spec, rend, t_rgb, t_d, mask, key, lw,
+                             with_smooth=False)
+        return loss
+
+    def step_ns(st):
+        p, key = st
+        key, k = jax.random.split(key)
+        g = jax.grad(loss_ns)(p, k)
+        p = jax.tree_util.tree_map(lambda a, b: a - 1e-9 * b, p, g)
+        return p, key
+    bench("A2 loss fwd+bwd, no smoothness", step_ns, (params, key))
+
+    # B. field_query fwd+bwd only (93.6k pts)
+    def step_field(st):
+        p, x = st
+        def f(p):
+            raw = field_query(p, x, spec)
+            return jnp.sum(raw * raw)
+        g = jax.grad(f)(p)
+        p = jax.tree_util.tree_map(lambda a, b: a - 1e-9 * b, p, g)
+        return p, (x + 1e-6) % 1.0
+    bench("B field_query fwd+bwd (93.6k pts)", step_field, (params, x01))
+
+    # B2. forward only
+    def step_fwd(st):
+        p, x, acc = st
+        raw = field_query(p, x, spec)
+        return p, (x + 1e-6) % 1.0, acc + jnp.sum(raw[:1])
+    bench("B2 field_query fwd only", step_fwd, (params, x01, jnp.zeros(())))
+
+    # C. renderer+losses with a stub field (isolates non-field graph)
+    def stub_query(p, x01_, spec_):
+        w = p["stub"]
+        return jnp.tanh(x01_ @ w)                    # [N, 5]
+
+    import naruto_tpu.mapping.render as render_mod
+    orig_fq = render_mod.field_query
+    render_mod.field_query = stub_query
+    stub_params = {"stub": jax.random.normal(k1, (3, 5)) * 0.1}
+
+    def loss_stub(p, key):
+        rend = render_rays(p, spec, rc, key, rays_o, rays_d, t_d)
+        loss, _ = total_loss(p, spec, rend, t_rgb, t_d, mask, key, lw,
+                             with_smooth=False)
+        return loss
+
+    def step_stub(st):
+        p, key = st
+        key, k = jax.random.split(key)
+        g = jax.grad(loss_stub)(p, k)
+        p = jax.tree_util.tree_map(lambda a, b: a - 1e-9 * b, p, g)
+        return p, key
+    # total_loss uses rend["uncert_map"] only if present; stub has no
+    # uncert grid -> spec.has_uncert still True, render uses raw[...,4]
+    bench("C renderer+losses, stub field", step_stub, (stub_params, key))
+    render_mod.field_query = orig_fq
+
+    # D. optimizer update alone (3 groups incl. uncert accum shapes)
+    from naruto_tpu.mapping.mapper import _make_map_optimizer, _map_params
+    tx = _make_map_optimizer(cfg)
+    opt0 = tx.init(_map_params(params))
+    grads = jax.tree_util.tree_map(jnp.ones_like, _map_params(params))
+
+    def step_opt(st):
+        p, opt = st
+        import optax
+        upd, opt = tx.update(grads, opt, _map_params(p))
+        newp = optax.apply_updates(_map_params(p), upd)
+        p = dict(p)
+        p.update(newp)
+        return p, opt
+    bench("D optimizer update (map groups)", step_opt, (params, opt0))
+
+    # E. z sampling + sort alone
+    def step_z(st):
+        key, acc = st
+        key, k = jax.random.split(key)
+        from naruto_tpu.mapping.render import sample_z_vals
+        z = sample_z_vals(k, t_d, rc)
+        return key, acc + jnp.sum(z[:1])
+    bench("E z sampling (incl. 43-wide sort)", step_z, (key, jnp.zeros(())))
+
+
+if __name__ == "__main__":
+    main()

@@ -29,6 +29,12 @@ def main() -> None:
     from naruto_tpu.mapping.mapper import Mapper
 
     cfg = make_config("Replica", "office0")
+    import os as _os
+    _env = _os.environ.get("NARUTO_BENCH_CFG")
+    if _env:
+        import json as _json
+        from naruto_tpu.config.schema import deep_update
+        cfg = deep_update(cfg, _json.loads(_env))
     mapper = Mapper(cfg)
     H, W = mapper.H, mapper.W
 

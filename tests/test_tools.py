@@ -125,6 +125,52 @@ class TestOfflineViz:
         make_video(str(run_dir), out_mp4)
         assert os.path.getsize(out_mp4) > 0
 
+    def test_replay_3d(self, tmp_path):
+        """3D scene replay (naruto_o3d_visualizer parity): mesh + frusta +
+        path + look-at overlays rendered per step."""
+        import cv2
+
+        from naruto_tpu.mesh.ply import write_ply
+        from naruto_tpu.visualization.offline import replay
+
+        run_dir = tmp_path / "visualization"
+        for sub in ("pose", "color_mesh", "planning_path", "lookat_tgts",
+                    "state"):
+            (run_dir / sub).mkdir(parents=True)
+
+        # a colored box mesh snapshot at step 0
+        lo, hi = np.array([-1.0, -1, -1]), np.array([1.0, 1, 1])
+        corners = np.array([[x, y, z] for x in (lo[0], hi[0])
+                            for y in (lo[1], hi[1])
+                            for z in (lo[2], hi[2])], np.float32)
+        quads = [(0, 1, 3, 2), (4, 5, 7, 6), (0, 1, 5, 4), (2, 3, 7, 6),
+                 (0, 2, 6, 4), (1, 3, 7, 5)]
+        faces = []
+        for a, b, c, d in quads:
+            faces += [[a, b, c], [a, c, d]]
+        write_ply(str(run_dir / "color_mesh" / "0000.ply"), corners,
+                  np.asarray(faces, np.int32), (corners - lo) / 2.0)
+
+        for i in range(3):
+            T = np.eye(4, dtype=np.float32)
+            T[:3, 3] = [i * 0.1, 0, 0]
+            np.save(run_dir / "pose" / f"{i:04d}.npy", T)
+            np.save(run_dir / "planning_path" / f"{i:04d}.npy",
+                    np.asarray([[0, 0, 0], [0.5, 0, 0]], np.float32))
+            np.save(run_dir / "lookat_tgts" / f"{i:04d}.npy",
+                    np.asarray([[0.9, 0.9, 0.0]], np.float32))
+            with open(run_dir / "state" / f"{i:04d}.txt", "w") as f:
+                f.write("movingToGoal")
+
+        out_dir = str(tmp_path / "replay")
+        mp4 = str(tmp_path / "replay.mp4")
+        outs = replay(str(run_dir), out_dir, H=120, W=160, video_path=mp4)
+        assert len(outs) == 3
+        img = cv2.imread(outs[0])
+        assert img is not None and img.shape == (120, 160, 3)
+        assert img.max() > 30          # mesh visible, not a black frame
+        assert os.path.getsize(mp4) > 0
+
 
 def test_pose_export_cli(tmp_path):
     import pickle
