@@ -47,6 +47,9 @@ class FieldSpec:
     base_resolution: int = 16
     table_dtype: str = "bfloat16"
     table_layout: str = "vertex"    # "vertex" (exact tcnn) | "cell" (fast)
+    # MLP matmul compute dtype; fp32 master params live in the optimizer.
+    # None/"float32" = exact reference math, "bfloat16" = fast path.
+    mlp_dtype: str = "float32"
     voxel_sdf: float = 0.02
     pos_n_bins: int = 16
     geo_feat_dim: int = 15
@@ -104,6 +107,12 @@ class FieldSpec:
                 + [self.hidden_dim_color] * (self.num_layers_color - 1) + [3])
 
 
+def _mlp_dt(spec: FieldSpec):
+    import jax.numpy as _jnp
+
+    return None if spec.mlp_dtype in (None, "float32") else _jnp.bfloat16
+
+
 def init_field_params(key, spec: FieldSpec) -> Params:
     k1, k2, k3 = jax.random.split(key, 3)
     params: Params = {
@@ -137,7 +146,8 @@ def query_geo(params: Params, x01: jnp.ndarray, spec: FieldSpec):
         x01 = jax.lax.stop_gradient(x01)
     h = hash_encode(params["table"], x01, spec.hash_spec)
     p = one_blob_encode(x01, spec.pos_n_bins)
-    out = mlp_apply(params["sdf_mlp"], jnp.concatenate([h, p], axis=-1))
+    out = mlp_apply(params["sdf_mlp"], jnp.concatenate([h, p], axis=-1),
+                    compute_dtype=_mlp_dt(spec))
     sdf = out[:, 0]
     if spec.pred_uncert:
         geo, uncert = out[:, 1:-1], out[:, -1]
@@ -152,7 +162,8 @@ def field_query(params: Params, x01: jnp.ndarray,
                 spec: FieldSpec) -> jnp.ndarray:
     """Full raw query -> [N, 5]: [rgb(3), sdf, uncert]. rgb is pre-sigmoid."""
     sdf, geo, uncert, p = query_geo(params, x01, spec)
-    rgb = mlp_apply(params["color_mlp"], jnp.concatenate([p, geo], axis=-1))
+    rgb = mlp_apply(params["color_mlp"], jnp.concatenate([p, geo], axis=-1),
+                    compute_dtype=_mlp_dt(spec))
     return jnp.concatenate(
         [rgb, sdf[:, None], uncert[:, None]], axis=-1)
 
@@ -171,7 +182,8 @@ def field_query_plus_embed(params: Params, x01: jnp.ndarray,
     h, h_extra = h_all[:n], h_all[n:]
 
     p = one_blob_encode(x01, spec.pos_n_bins)
-    out = mlp_apply(params["sdf_mlp"], jnp.concatenate([h, p], axis=-1))
+    out = mlp_apply(params["sdf_mlp"], jnp.concatenate([h, p], axis=-1),
+                    compute_dtype=_mlp_dt(spec))
     sdf = out[:, 0]
     if spec.pred_uncert:
         geo, uncert = out[:, 1:-1], out[:, -1]
@@ -179,7 +191,8 @@ def field_query_plus_embed(params: Params, x01: jnp.ndarray,
         geo = out[:, 1:]
         uncert = (query_uncert(params, x01, spec) if spec.uncert_grid
                   else jnp.zeros_like(sdf))
-    rgb = mlp_apply(params["color_mlp"], jnp.concatenate([p, geo], axis=-1))
+    rgb = mlp_apply(params["color_mlp"], jnp.concatenate([p, geo], axis=-1),
+                    compute_dtype=_mlp_dt(spec))
     raw = jnp.concatenate([rgb, sdf[:, None], uncert[:, None]], axis=-1)
     return raw, h_extra
 

@@ -220,20 +220,54 @@ def _corner_indices(x: jnp.ndarray, spec: HashGridSpec):
     return idx.reshape(n, L * 8), w
 
 
+@functools.lru_cache(maxsize=8)
+def _blend_matrix(n_levels: int, n_features: int):
+    """Selection matrix S [L*8*F, L*F] folding the 8-corner blend into one
+    MXU matmul: out = (rows * w_rep) @ S. S[(l*8+c)*F + f, l*F + f] = 1."""
+    L, F = n_levels, n_features
+    s = np.zeros((L * 8 * F, L * F), dtype=np.float32)
+    for l in range(L):
+        for c in range(8):
+            for f in range(F):
+                s[(l * 8 + c) * F + f, l * F + f] = 1.0
+    return jnp.asarray(s, dtype=jnp.bfloat16)
+
+
+def _blend(rows: jnp.ndarray, w: jnp.ndarray, spec: HashGridSpec,
+           n: int) -> jnp.ndarray:
+    """rows: gathered corner features [n, L*8*F] (gather dtype), w corner
+    weights [n, L, 8] f32 -> blended embedding [n, L*F] f32.
+
+    The weighted reduction over corners runs as ONE bf16 matmul with f32
+    accumulation — no [n, L, 8, F] float32 materialization (a multi-ms
+    reshape/fusion in the straightforward formulation on v5e)."""
+    L, F = spec.n_levels, spec.n_features
+    w_rep = jnp.repeat(w.reshape(n, L * 8).astype(rows.dtype), F, axis=1)
+    weighted = rows * w_rep
+    # the selection matmul is exact 0/1; keep full precision on the fp32
+    # (reference-parity) path, single-pass on the bf16 fast path
+    precision = (jax.lax.Precision.HIGHEST
+                 if rows.dtype == jnp.float32 else jax.lax.Precision.DEFAULT)
+    return jax.lax.dot_general(
+        weighted, _blend_matrix(L, F).astype(rows.dtype),
+        (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32, precision=precision)
+
+
 def _encode_impl(table, x, spec: HashGridSpec):
     n = x.shape[0]
     gtable = table.astype(spec.gather_dtype) \
         if spec.gather_dtype != "float32" else table
     if spec.layout == "cell":
         idx, w = _cell_indices(x, spec)                   # [N, L], [N, L, 8]
-        rows = jnp.take(gtable, idx.reshape(-1), axis=0).astype(jnp.float32)
-        feats = rows.reshape(n, spec.n_levels, 8, spec.n_features)
+        rows = jnp.take(gtable, idx.reshape(-1), axis=0)  # [N*L, 8F]
+        rows = rows.reshape(n, spec.n_levels * 8 * spec.n_features)
     else:
         idx, w = _corner_indices(x, spec)
-        feats = jnp.take(gtable, idx, axis=0).astype(jnp.float32)
-        feats = feats.reshape(n, spec.n_levels, 8, spec.n_features)
-    out = jnp.sum(feats * w[..., None], axis=2)           # [N, L, F]
-    return out.reshape(n, spec.output_dim), (idx, w)
+        rows = jnp.take(gtable, idx, axis=0)              # [N, L*8, F]
+        rows = rows.reshape(n, spec.n_levels * 8 * spec.n_features)
+    out = _blend(rows, w, spec, n)                        # [N, L*F] f32
+    return out, (idx, w)
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(2,))

@@ -33,44 +33,62 @@ _CORNERS = [(dx, dy, dz) for dx in (0, 1) for dy in (0, 1) for dz in (0, 1)]
 
 
 def _corner_data(shape, coords):
-    """coords [N,3] voxel units -> (flat corner idx [N,8], weights [N,8],
-    frac [N,3], base i0 [N,3])."""
+    """coords [N,3] voxel units -> (cell idx [N], weights [N,8],
+    frac [N,3]). Cell id indexes the (X-1)(Y-1)(Z-1) cell-packed view."""
     X, Y, Z = shape
     limit = jnp.asarray([X - 1.0, Y - 1.0, Z - 1.0], coords.dtype)
     c = jnp.clip(coords, 0.0, limit)
     i0 = jnp.clip(jnp.floor(c).astype(jnp.int32), 0,
                   jnp.asarray([X - 2, Y - 2, Z - 2], jnp.int32))
     frac = c - i0.astype(coords.dtype)
-    corners = jnp.asarray(_CORNERS, dtype=jnp.int32)          # [8, 3]
-    ci = i0[:, None, :] + corners[None, :, :]                 # [N, 8, 3]
-    flat = (ci[..., 0] * (Y * Z) + ci[..., 1] * Z + ci[..., 2])
-    cf = corners.astype(coords.dtype)
+    cell = (i0[:, 0] * ((Y - 1) * (Z - 1)) + i0[:, 1] * (Z - 1) + i0[:, 2])
+    cf = jnp.asarray(_CORNERS, dtype=coords.dtype)            # [8, 3]
     w = jnp.prod(jnp.where(cf[None] > 0.5, frac[:, None, :],
                            1.0 - frac[:, None, :]), axis=-1)  # [N, 8]
-    return flat, w, frac, i0
+    return cell, w, frac
+
+
+def _cell_pack(vol, shape):
+    """[X,Y,Z] -> [(X-1)(Y-1)(Z-1), 8]: row c holds the 8 corner values of
+    cell c in _CORNERS order. TPU gathers are row-count bound, so ONE
+    8-wide row per point replaces 8 scalar gathers (measured ~8x)."""
+    X, Y, Z = shape
+    slices = [vol[dx:dx + X - 1, dy:dy + Y - 1, dz:dz + Z - 1]
+              for dx, dy, dz in _CORNERS]
+    return jnp.stack(slices, axis=-1).reshape(-1, 8)
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(2,))
 def _trilerp(vol: jnp.ndarray, coords: jnp.ndarray, shape) -> jnp.ndarray:
-    flat, w, _, _ = _corner_data(shape, coords)
-    vals = jnp.take(vol.reshape(-1), flat, axis=0)            # [N, 8]
+    cell, w, _ = _corner_data(shape, coords)
+    vals = jnp.take(_cell_pack(vol, shape), cell, axis=0)     # [N, 8]
     return jnp.sum(vals * w, axis=-1)
 
 
 def _trilerp_fwd(vol, coords, shape):
-    flat, w, frac, _ = _corner_data(shape, coords)
-    vals = jnp.take(vol.reshape(-1), flat, axis=0)
-    return jnp.sum(vals * w, axis=-1), (vol, flat, w, frac, vals)
+    cell, w, frac = _corner_data(shape, coords)
+    vals = jnp.take(_cell_pack(vol, shape), cell, axis=0)
+    return jnp.sum(vals * w, axis=-1), (vol, cell, w, frac, vals)
 
 
 def _trilerp_bwd(shape, res, g):
     from naruto_tpu.ops.segment import dense_segment_sum
 
-    vol, flat, w, frac, vals = res
-    size = shape[0] * shape[1] * shape[2]
-    upd = (g[:, None] * w).reshape(-1, 1)
-    d_vol = dense_segment_sum(flat.reshape(-1), upd, size)
-    d_vol = d_vol.reshape(shape).astype(vol.dtype)
+    vol, cell, w, frac, vals = res
+    X, Y, Z = shape
+    n_cells = (X - 1) * (Y - 1) * (Z - 1)
+    # exact f32 payloads — this sort is small (N points, not N*8) so the
+    # bf16 packing isn't needed for speed here
+    d_cell = dense_segment_sum(cell, g[:, None] * w, n_cells,
+                               pack_bf16=False)                # [cells, 8]
+    d_cell = d_cell.reshape(X - 1, Y - 1, Z - 1, 8)
+    # unpack cell-corner grads back to the vertex grid: 8 static slice-adds
+    # (the exact transpose of _cell_pack; no scatter)
+    d_vol = jnp.zeros(shape, dtype=jnp.float32)
+    for k, (dx, dy, dz) in enumerate(_CORNERS):
+        d_vol = d_vol.at[dx:dx + X - 1, dy:dy + Y - 1,
+                         dz:dz + Z - 1].add(d_cell[..., k])
+    d_vol = d_vol.astype(vol.dtype)
 
     corners = jnp.asarray(_CORNERS, dtype=frac.dtype)         # [8, 3]
     t = jnp.where(corners[None] > 0.5, frac[:, None, :],

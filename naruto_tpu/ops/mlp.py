@@ -31,11 +31,19 @@ def init_mlp_params(key, dims: Sequence[int], dtype=jnp.float32) -> List[jnp.nda
     return params
 
 
-def mlp_apply(params: List[jnp.ndarray], x: jnp.ndarray) -> jnp.ndarray:
-    """ReLU between layers, linear output."""
-    h = x
+def mlp_apply(params: List[jnp.ndarray], x: jnp.ndarray,
+              compute_dtype=None) -> jnp.ndarray:
+    """ReLU between layers, linear output, fp32 result.
+
+    compute_dtype: optional lower-precision matmul dtype (bf16 weights +
+    activations with fp32 MXU accumulation — the master params stay fp32
+    in the optimizer; ref parity keeps None = full fp32)."""
+    h = x if compute_dtype is None else x.astype(compute_dtype)
     for i, w in enumerate(params):
-        h = jnp.dot(h, w, preferred_element_type=jnp.float32)
+        wc = w if compute_dtype is None else w.astype(compute_dtype)
+        h = jnp.dot(h, wc, preferred_element_type=jnp.float32)
         if i < len(params) - 1:
             h = jax.nn.relu(h)
+            if compute_dtype is not None:
+                h = h.astype(compute_dtype)
     return h

@@ -29,3 +29,9 @@ for scene in "${SCENES[@]}"; do
     python -m naruto_tpu.run "${args[@]}"
   done
 done
+
+# merged per-seed metric tables (mean/std rows) per scene
+for scene in "${SCENES[@]}"; do
+  python -m naruto_tpu.utils.results \
+    --scene-dir "results/$EXP/Replica/$scene" || true
+done

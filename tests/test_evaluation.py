@@ -102,3 +102,23 @@ def test_eval_cli_smoke(tmp_path):
     with open(out) as fh:
         header = fh.readline()
     assert "accuracy_cm" in header
+
+
+def test_merge_seed_results(tmp_path):
+    """5-trial protocol: per-seed eval rows merge into one table with
+    mean/std (ref scripts/naruto/run_replica.sh seeds)."""
+    from naruto_tpu.utils.results import merge_seed_results, \
+        update_results_file
+
+    scene = tmp_path / "office0"
+    for seed, acc in ((0, 1.0), (500, 2.0), (1999, 3.0)):
+        d = scene / f"seed_{seed}" / "Replica" / "office0"
+        d.mkdir(parents=True)
+        update_results_file({"accuracy_cm": acc, "mad_cm": acc / 2},
+                            str(d / "eval_result.txt"))
+    out = merge_seed_results(str(scene))
+    lines = open(out).read().strip().splitlines()
+    assert lines[0] == "trial,accuracy_cm,mad_cm"
+    assert len(lines) == 6       # 3 seeds + mean + std
+    mean = [float(x) for x in lines[-2].split(",")[1:]]
+    assert abs(mean[0] - 2.0) < 1e-6 and abs(mean[1] - 1.0) < 1e-6
