@@ -221,16 +221,18 @@ def _corner_indices(x: jnp.ndarray, spec: HashGridSpec):
 
 
 @functools.lru_cache(maxsize=8)
-def _blend_matrix(n_levels: int, n_features: int):
+def _blend_matrix(n_levels: int, n_features: int) -> np.ndarray:
     """Selection matrix S [L*8*F, L*F] folding the 8-corner blend into one
-    MXU matmul: out = (rows * w_rep) @ S. S[(l*8+c)*F + f, l*F + f] = 1."""
+    MXU matmul: out = (rows * w_rep) @ S. S[(l*8+c)*F + f, l*F + f] = 1.
+    Cached as NUMPY (a cached jnp constant would leak tracers across
+    jit traces)."""
     L, F = n_levels, n_features
     s = np.zeros((L * 8 * F, L * F), dtype=np.float32)
     for l in range(L):
         for c in range(8):
             for f in range(F):
                 s[(l * 8 + c) * F + f, l * F + f] = 1.0
-    return jnp.asarray(s, dtype=jnp.bfloat16)
+    return s
 
 
 def _blend(rows: jnp.ndarray, w: jnp.ndarray, spec: HashGridSpec,
@@ -249,7 +251,7 @@ def _blend(rows: jnp.ndarray, w: jnp.ndarray, spec: HashGridSpec,
     precision = (jax.lax.Precision.HIGHEST
                  if rows.dtype == jnp.float32 else jax.lax.Precision.DEFAULT)
     return jax.lax.dot_general(
-        weighted, _blend_matrix(L, F).astype(rows.dtype),
+        weighted, jnp.asarray(_blend_matrix(L, F), dtype=rows.dtype),
         (((1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32, precision=precision)
 

@@ -1,0 +1,104 @@
+"""Pallas TPU kernels for the hot loop.
+
+outer_cumsum: the post-sort stage of the cell-layout hash-grid backward
+(ops/segment.dense_segment_sum_outer). The XLA formulation materializes the
+[M, A*B] outer-product expansion (a multi-ms reshape at M~500k) and then
+runs a log-pass cumsum over it; this kernel streams the sorted bf16
+factors, expands the outer product in VMEM, and emits the inclusive f32
+prefix sum in one pass (tri-matmul sub-block cumsum + running carry).
+
+Equivalent of the tcnn CUDA backward's accumulation stage
+(/root/reference/src/slam/coslam/model/decoder.py:11 uses tinycudann's
+HashGrid whose backward is an atomic-add kernel; TPU has no atomics, so
+sort + prefix-sum is the native formulation — SURVEY.md §2.8).
+"""
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+SUB = 512          # tri-matmul cumsum chunk
+BK = 16384         # rows per grid step (VMEM: in 2x0.5MB, out 4MB f32)
+
+
+def _outer_cumsum_kernel(ka: int, kb: int, block: int,
+                         sa_ref, sb_ref, out_ref, carry_ref):
+    b = pl.program_id(0)
+
+    @pl.when(b == 0)
+    def _():
+        carry_ref[:] = jnp.zeros_like(carry_ref)
+
+    tri = jnp.tril(jnp.ones((SUB, SUB), jnp.float32))
+
+    def chunk(i, _):
+        sa = sa_ref[pl.ds(i * SUB, SUB), :].astype(jnp.float32)  # [SUB, ka]
+        sb = sb_ref[pl.ds(i * SUB, SUB), :].astype(jnp.float32)  # [SUB, kb]
+        # a-major layout: position c*kb + f holds a_c * b_f
+        sa_rep = jnp.concatenate(
+            [jnp.broadcast_to(sa[:, c:c + 1], (SUB, kb))
+             for c in range(ka)], axis=1)                    # [SUB, ka*kb]
+        sb_tile = jnp.concatenate([sb] * ka, axis=1)         # [SUB, ka*kb]
+        outer = sa_rep * sb_tile
+        cs = jax.lax.dot_general(
+            tri, outer, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST) + carry_ref[:]
+        out_ref[pl.ds(i * SUB, SUB), :] = cs
+        carry_ref[:] = cs[SUB - 1:SUB, :]
+        return 0
+
+    jax.lax.fori_loop(0, block // SUB, chunk, 0, unroll=False)
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def outer_cumsum(sa: jnp.ndarray, sb: jnp.ndarray,
+                 interpret: bool = False) -> jnp.ndarray:
+    """Inclusive prefix sum of outer(sa[i], sb[i]) flattened rows.
+
+    sa: [M, ka] bf16 (sorted payload factors), sb: [M, kb] bf16.
+    Returns [M, ka*kb] float32 inclusive cumulative sums. M must be a
+    multiple of 512; rows are processed in 16k blocks with a carried
+    running total, so the result equals jnp.cumsum of the expanded
+    products in f32.
+    """
+    m, ka = sa.shape
+    kb = sb.shape[1]
+    assert m % SUB == 0, f"M={m} must be a multiple of {SUB}"
+    block = min(BK, m)
+    grid = -(-m // block)
+
+    kernel = functools.partial(_outer_cumsum_kernel, ka, kb, block)
+    return pl.pallas_call(
+        kernel,
+        grid=(grid,),
+        in_specs=[
+            pl.BlockSpec((block, ka), lambda b: (b, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((block, kb), lambda b: (b, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((block, ka * kb), lambda b: (b, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((m, ka * kb), jnp.float32),
+        scratch_shapes=[pltpu.VMEM((1, ka * kb), jnp.float32)],
+        interpret=interpret,
+    )(sa, sb)
+
+
+def outer_cumsum_supported() -> bool:
+    """Pallas path is compiled only on real TPU backends (tests and the
+    CPU mesh use the XLA formulation)."""
+    import os
+
+    if os.environ.get("NARUTO_NO_PALLAS"):
+        return False
+    try:
+        return jax.default_backend() == "tpu"
+    except Exception:
+        return False

@@ -60,15 +60,36 @@ def dense_segment_sum_outer(indices: jnp.ndarray, a: jnp.ndarray,
         b16[:, j] for j in range(kb // 2))
     sorted_ops = jax.lax.sort(ops, num_keys=1)
     si = sorted_ops[0]
-    sa = jnp.stack(sorted_ops[1:1 + ka // 2], axis=-1)[..., None] \
-        .view(jnp.bfloat16).reshape(m, ka).astype(jnp.float32)
-    sb = jnp.stack(sorted_ops[1 + ka // 2:], axis=-1)[..., None] \
-        .view(jnp.bfloat16).reshape(m, kb).astype(jnp.float32)
+    sa16 = jnp.stack(sorted_ops[1:1 + ka // 2], axis=-1)[..., None] \
+        .view(jnp.bfloat16).reshape(m, ka)
+    sb16 = jnp.stack(sorted_ops[1 + ka // 2:], axis=-1)[..., None] \
+        .view(jnp.bfloat16).reshape(m, kb)
+    ub = _merge_ranks(si, size)
+
+    from naruto_tpu.ops.pallas_kernels import (outer_cumsum,
+                                               outer_cumsum_supported)
+
+    if outer_cumsum_supported():
+        # fused expand+cumsum in one VMEM-resident pass (saves the [M, A*B]
+        # f32 materialization + XLA's log-pass cumsum)
+        pad = (-m) % 512
+        if pad:
+            sa16 = jnp.concatenate(
+                [sa16, jnp.zeros((pad, ka), sa16.dtype)])
+            sb16 = jnp.concatenate(
+                [sb16, jnp.zeros((pad, kb), sb16.dtype)])
+        cs_inc = outer_cumsum(sa16, sb16)           # [m+pad, A*B] inclusive
+        lb = jnp.concatenate([jnp.zeros((1,), ub.dtype), ub[:-1]])
+        hi = jnp.where(ub > 0, cs_inc[jnp.maximum(ub - 1, 0)], 0.0)
+        lo = jnp.where(lb > 0, cs_inc[jnp.maximum(lb - 1, 0)], 0.0)
+        return hi - lo
+
+    sa = sa16.astype(jnp.float32)
+    sb = sb16.astype(jnp.float32)
     sv = (sa[:, :, None] * sb[:, None, :]).reshape(m, ka * kb)
     cs = jnp.concatenate(
         [jnp.zeros((1, ka * kb), jnp.float32), jnp.cumsum(sv, axis=0)],
         axis=0)
-    ub = _merge_ranks(si, size)
     lb = jnp.concatenate([jnp.zeros((1,), ub.dtype), ub[:-1]])
     return cs[ub] - cs[lb]
 

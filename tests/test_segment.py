@@ -204,3 +204,31 @@ class TestTrilerpVJP:
                   - float(trilinear_interp_volume(vol, c0 - d)[0])) / (2 * eps)
             np.testing.assert_allclose(float(gc[0, a]), fd, rtol=2e-2,
                                        atol=1e-3)
+
+
+class TestPallasOuterCumsum:
+    def test_matches_xla_cumsum_interpret(self, rng):
+        """Pallas fused expand+cumsum kernel (interpret mode on CPU) equals
+        the XLA expansion+cumsum."""
+        import jax
+        from naruto_tpu.ops.pallas_kernels import outer_cumsum
+
+        m = 1024
+        sa = jnp.asarray(rng.normal(size=(m, 8)), jnp.bfloat16)
+        sb = jnp.asarray(rng.normal(size=(m, 4)), jnp.bfloat16)
+        got = outer_cumsum(sa, sb, interpret=True)
+        sv = (sa.astype(jnp.float32)[:, :, None]
+              * sb.astype(jnp.float32)[:, None, :]).reshape(m, 32)
+        ref = jnp.cumsum(sv, axis=0)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                                   rtol=1e-5, atol=1e-4)
+
+    def test_carry_across_blocks_interpret(self, rng):
+        """Carry propagates across the 16k-row grid blocks."""
+        from naruto_tpu.ops.pallas_kernels import BK, outer_cumsum
+
+        m = BK + 512
+        sa = jnp.ones((m, 2), jnp.bfloat16)
+        sb = jnp.ones((m, 2), jnp.bfloat16)
+        got = outer_cumsum(sa, sb, interpret=True)
+        np.testing.assert_allclose(np.asarray(got[-1]), float(m), rtol=1e-6)
