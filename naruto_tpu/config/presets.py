@@ -76,14 +76,18 @@ SCENE_OVERRIDES: Dict[str, Dict[str, dict]] = {
         "HxpKQynjfin": {"planner": {"invalid_region_ratio_thre": 0.8}},
     },
     "NARUTO": {
-        # object scenes plan on a finer uncertainty volume
-        # (configs/NARUTO/{jiraiya,naruto}/NARUTO.py planner section)
-        "hokage_room": {"vis": {"save_mesh_voxel_size": 0.1}},
+        # object scenes plan on a finer uncertainty volume and mesh at
+        # finer voxels (configs/NARUTO/*/{NARUTO.py planner section,
+        # coslam.yaml mesh section})
+        "hokage_room": {"vis": {"save_mesh_voxel_size": 0.1},
+                        "mesh": {"voxel_eval": 0.05, "voxel_final": 0.02}},
         "jiraiya": {"planner": {"voxel_size": 0.02},
                     "mapper": {"voxel_size": 0.02},
-                    "vis": {"save_mesh_voxel_size": 0.05}},
+                    "vis": {"save_mesh_voxel_size": 0.05},
+                    "mesh": {"voxel_eval": 0.02, "voxel_final": 0.01}},
         "naruto": {"planner": {"voxel_size": 0.02},
                    "mapper": {"voxel_size": 0.02},
-                   "vis": {"save_mesh_voxel_size": 0.02}},
+                   "vis": {"save_mesh_voxel_size": 0.02},
+                   "mesh": {"voxel_eval": 0.01, "voxel_final": 0.005}},
     },
 }

@@ -345,6 +345,29 @@ class Mapper:
             params=params, uncert_opt_state=new_opt,
             uncert_accum=jnp.zeros_like(state.uncert_accum))
 
+    def _cond_uncert_update(self, do, state: MapperState) -> MapperState:
+        """Conditionally apply the accumulated uncertainty-grid Adam step.
+        The cond carries ONLY the small uncertainty triple — routing the
+        whole MapperState (incl. the multi-hundred-MB keyframe buffer)
+        through lax.cond materialized per-iteration copies on TPU."""
+        if not self.spec.uncert_grid:
+            return state
+
+        def apply_fn(args):
+            grid, opt, accum = args
+            updates, new_opt = self.uncert_tx.update(accum, opt, grid)
+            return (optax.apply_updates(grid, updates), new_opt,
+                    jnp.zeros_like(accum))
+
+        grid, opt, accum = jax.lax.cond(
+            do, apply_fn, lambda a: a,
+            (state.params["uncert_grid"], state.uncert_opt_state,
+             state.uncert_accum))
+        params = dict(state.params)
+        params["uncert_grid"] = grid
+        return state._replace(params=params, uncert_opt_state=opt,
+                              uncert_accum=accum)
+
     def _accum_uncert(self, state: MapperState, grads):
         if not self.spec.uncert_grid:
             return state
@@ -542,9 +565,8 @@ class Mapper:
             it, k = inputs
             st, pose_grads = body(st, pv, k)
             if self.spec.uncert_grid:
-                st = jax.lax.cond(
-                    (it + 1) % m.uncert_accum_iters == 0,
-                    self._apply_uncert_update, lambda s: s, st)
+                st = self._cond_uncert_update(
+                    (it + 1) % m.uncert_accum_iters == 0, st)
             if opt_poses:
                 p_accum = jax.tree_util.tree_map(
                     lambda a, g: a + g, p_accum, pose_grads)

@@ -23,7 +23,7 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 SUB = 512          # tri-matmul cumsum chunk
-BK = 16384         # rows per grid step (VMEM: in 2x0.5MB, out 4MB f32)
+BK = 4096         # rows per grid step
 
 
 def _outer_cumsum_kernel(ka: int, kb: int, block: int,
