@@ -115,6 +115,9 @@ class TrainingConfig:
     smooth_pts: int = 32
     smooth_vox: float = 0.1
     smooth_margin: float = 0.05
+    # 0 = reference full-grid TV; >0 = Monte-Carlo TV from this many
+    # random grid pairs per axis (cuts ~30k extra field points/iter)
+    smooth_sample: int = 0
     n_samples_d: int = 32           # uniform samples near..far
     range_d: float = 0.1            # +- range around measured depth
     n_range_d: int = 11             # depth-guided samples

@@ -42,6 +42,11 @@ class LossWeights(NamedTuple):
     smooth_pts: int = 32
     smooth_vox: float = 0.1
     smooth_margin: float = 0.05
+    # 0 = exact reference TV over the full (smooth_pts-1)^3 sub-grid;
+    # >0 = unbiased Monte-Carlo estimate from this many random grid pairs
+    # per axis (the full grid pushes ~30k extra points through the field
+    # encode every iteration for a 1e-6-weighted term)
+    smooth_sample: int = 0
 
 
 def _safe_div(num, den):
@@ -109,30 +114,58 @@ def uncert_loss(rend: Dict, target_d, valid_mask, lw: LossWeights, axis=None):
 
 
 def smoothness_points(spec: FieldSpec, key, lw: LossWeights):
-    """Random sub-grid points (normalized) for the smoothness regularizer —
-    generated separately so the embedding query can ride the render batch
-    (one shared backward segment-sum)."""
+    """Points (normalized) for the smoothness regularizer — generated
+    separately so the embedding query can ride the render batch (one
+    shared backward segment-sum).
+
+    smooth_sample == 0: the reference's full random (smooth_pts-1)^3
+    sub-grid. smooth_sample > 0: `smooth_sample` random grid locations
+    plus their +1 neighbors along each axis (4*S points) for the
+    Monte-Carlo TV estimate."""
     n = lw.smooth_pts - 1
     bound = jnp.asarray(spec.bound_np)
     extent = bound[:, 1] - bound[:, 0]
     grid_size = n * lw.smooth_vox
-    k1, k2 = jax.random.split(key)
+    k1, k2, k3 = jax.random.split(key, 3)
     offset_max = jnp.maximum(extent - grid_size - 2 * lw.smooth_margin, 0.0)
     offset = jax.random.uniform(k1, (3,)) * offset_max + lw.smooth_margin
+    jitter = jax.random.uniform(k2, (1, 3) if lw.smooth_sample else (1, 1, 1, 3))
+    if lw.smooth_sample:
+        s = lw.smooth_sample
+        base = jax.random.randint(k3, (s, 3), 0, n - 1).astype(jnp.float32)
+        pts = jnp.concatenate([
+            base,
+            base + jnp.asarray([1.0, 0.0, 0.0]),
+            base + jnp.asarray([0.0, 1.0, 0.0]),
+            base + jnp.asarray([0.0, 0.0, 1.0]),
+        ], axis=0)
+        pts = (pts + jitter) * lw.smooth_vox + bound[:, 0] + offset
+        x01 = (pts - bound[:, 0]) / extent
+        return x01, n
     coords = jnp.stack(jnp.meshgrid(
         jnp.arange(n, dtype=jnp.float32),
         jnp.arange(n, dtype=jnp.float32),
         jnp.arange(n, dtype=jnp.float32), indexing="ij"), axis=-1)
-    jitter = jax.random.uniform(k2, (1, 1, 1, 3))
     pts = (coords + jitter) * lw.smooth_vox + bound[:, 0] + offset
     x01 = ((pts - bound[:, 0]) / extent).reshape(-1, 3)
     return x01, n
 
 
 def smoothness_tv(embed: jnp.ndarray, n: int, lw: LossWeights):
-    """TV^2 over embeddings on the [n,n,n] sub-grid (upstream
-    CoSLAM.smoothness contract: sum of squared axis differences divided by
-    smooth_pts^3)."""
+    """TV^2 over embeddings (upstream CoSLAM.smoothness contract: sum of
+    squared axis differences divided by smooth_pts^3). With smooth_sample,
+    an unbiased estimate: per-axis mean over the S sampled pairs scaled by
+    that axis's full pair count (n-1)*n*n."""
+    if lw.smooth_sample:
+        s = lw.smooth_sample
+        base, ex, ey, ez = (embed[:s], embed[s:2 * s], embed[2 * s:3 * s],
+                            embed[3 * s:])
+        pairs_per_axis = (n - 1) * n * n
+        tv = (jnp.mean(jnp.sum(jnp.square(ex - base), axis=-1))
+              + jnp.mean(jnp.sum(jnp.square(ey - base), axis=-1))
+              + jnp.mean(jnp.sum(jnp.square(ez - base), axis=-1))
+              ) * pairs_per_axis
+        return tv / (lw.smooth_pts ** 3)
     emb = embed.reshape(n, n, n, -1)
     tv = (jnp.sum(jnp.square(emb[1:] - emb[:-1]))
           + jnp.sum(jnp.square(emb[:, 1:] - emb[:, :-1]))

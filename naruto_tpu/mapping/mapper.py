@@ -152,7 +152,8 @@ class Mapper:
             fs=t.fs_weight, uncert=t.uncert_weight, smooth=t.smooth_weight,
             rgb_missing=t.rgb_missing, trunc=t.trunc, sc_factor=t.sc_factor,
             depth_trunc=c.depth_trunc, smooth_pts=t.smooth_pts,
-            smooth_vox=t.smooth_vox, smooth_margin=t.smooth_margin)
+            smooth_vox=t.smooth_vox, smooth_margin=t.smooth_margin,
+            smooth_sample=t.smooth_sample)
 
         self.H, self.W = c.H // c.downsample, c.W // c.downsample
         self.fx, self.fy = c.fx // c.downsample, c.fy // c.downsample

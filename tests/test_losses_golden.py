@@ -106,3 +106,40 @@ class TestGoldenUncert:
         out = float(uncert_loss(rend, target_d, valid, LossWeights()))
         expected = 0.25 / (2 * 0.5) + 0.5 * np.log(0.5)
         assert out == pytest.approx(expected, rel=1e-4)
+
+
+def test_smooth_sample_estimates_full_tv(rng):
+    """Monte-Carlo smoothness (smooth_sample>0) estimates the full-grid TV
+    in expectation (checked on a smooth analytic embedding)."""
+    import jax
+    import jax.numpy as jnp
+    from naruto_tpu.mapping.field import FieldSpec
+    from naruto_tpu.mapping.losses import (LossWeights, smoothness_points,
+                                           smoothness_tv)
+
+    spec = FieldSpec(bound=((-1, 1), (-1, 1), (-1, 1)), n_levels=2,
+                     log2_hashmap_size=10, base_resolution=4, voxel_sdf=0.1,
+                     uncert_grid=False)
+
+    def embed_fn(x01):
+        # smooth deterministic "embedding": linear + quadratic features
+        return jnp.concatenate([x01, x01 ** 2], axis=-1)
+
+    lw_full = LossWeights(smooth_pts=8, smooth_vox=0.2, smooth_sample=0)
+    lw_mc = LossWeights(smooth_pts=8, smooth_vox=0.2, smooth_sample=4096)
+
+    key = jax.random.PRNGKey(0)
+    x_full, n = smoothness_points(spec, key, lw_full)
+    tv_full = smoothness_tv(embed_fn(x_full), n, lw_full)
+
+    # average several MC draws with the same grid placement key
+    tvs = []
+    for i in range(8):
+        k = jax.random.PRNGKey(0)  # same placement/jitter stream
+        # vary only the pair-sampling sub-key by folding
+        x_mc, n2 = smoothness_points(
+            spec, jax.random.fold_in(k, i) if i else k, lw_mc)
+        tvs.append(float(smoothness_tv(embed_fn(x_mc), n2, lw_mc)))
+    # different jitters shift the absolute value; compare magnitudes only
+    import numpy as np
+    assert 0.3 < np.mean(tvs) / float(tv_full) < 3.0
