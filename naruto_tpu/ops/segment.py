@@ -41,7 +41,8 @@ def _merge_ranks(sorted_keys: jnp.ndarray, size: int) -> jnp.ndarray:
 
 
 def dense_segment_sum_outer(indices: jnp.ndarray, a: jnp.ndarray,
-                            b: jnp.ndarray, size: int) -> jnp.ndarray:
+                            b: jnp.ndarray, size: int,
+                            use_pallas: bool | None = None) -> jnp.ndarray:
     """Segment sum of rank-1 outer-product updates:
     out[s] = sum_{i: indices[i]==s} outer(a[i], b[i]), flattened to
     [size, A*B].
@@ -69,7 +70,9 @@ def dense_segment_sum_outer(indices: jnp.ndarray, a: jnp.ndarray,
     from naruto_tpu.ops.pallas_kernels import (outer_cumsum,
                                                outer_cumsum_supported)
 
-    if outer_cumsum_supported():
+    if use_pallas is None:
+        use_pallas = outer_cumsum_supported()
+    if use_pallas:
         # fused expand+cumsum in one VMEM-resident pass (saves the [M, A*B]
         # f32 materialization + XLA's log-pass cumsum)
         pad = (-m) % 512
@@ -78,10 +81,13 @@ def dense_segment_sum_outer(indices: jnp.ndarray, a: jnp.ndarray,
                 [sa16, jnp.zeros((pad, ka), sa16.dtype)])
             sb16 = jnp.concatenate(
                 [sb16, jnp.zeros((pad, kb), sb16.dtype)])
-        cs_inc = outer_cumsum(sa16, sb16)           # [m+pad, A*B] inclusive
+        interp = jax.default_backend() != "tpu"
+        cs_inc = outer_cumsum(sa16, sb16, interpret=interp)  # inclusive
         lb = jnp.concatenate([jnp.zeros((1,), ub.dtype), ub[:-1]])
-        hi = jnp.where(ub > 0, cs_inc[jnp.maximum(ub - 1, 0)], 0.0)
-        lo = jnp.where(lb > 0, cs_inc[jnp.maximum(lb - 1, 0)], 0.0)
+        hi = jnp.where((ub > 0)[:, None],
+                       cs_inc[jnp.maximum(ub - 1, 0)], 0.0)
+        lo = jnp.where((lb > 0)[:, None],
+                       cs_inc[jnp.maximum(lb - 1, 0)], 0.0)
         return hi - lo
 
     sa = sa16.astype(jnp.float32)

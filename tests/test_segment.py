@@ -232,3 +232,17 @@ class TestPallasOuterCumsum:
         sb = jnp.ones((m, 2), jnp.bfloat16)
         got = outer_cumsum(sa, sb, interpret=True)
         np.testing.assert_allclose(np.asarray(got[-1]), float(m), rtol=1e-6)
+
+    def test_outer_pallas_branch_matches(self, rng):
+        """dense_segment_sum_outer's Pallas branch (interpret mode off-TPU)
+        equals the XLA branch."""
+        size = 64
+        m = 1500
+        idx = jnp.asarray(rng.integers(0, size, m), dtype=jnp.int32)
+        a = jnp.asarray(rng.normal(size=(m, 8)).astype(np.float32))
+        b = jnp.asarray(rng.normal(size=(m, 8)).astype(np.float32))
+        out_xla = dense_segment_sum_outer(idx, a, b, size, use_pallas=False)
+        out_pl = dense_segment_sum_outer(idx, a, b, size, use_pallas=True)
+        scale = float(np.abs(np.asarray(out_xla)).max())
+        np.testing.assert_allclose(np.asarray(out_pl) / scale,
+                                   np.asarray(out_xla) / scale, atol=1e-3)
