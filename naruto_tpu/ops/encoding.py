@@ -294,10 +294,16 @@ def _hash_encode_fwd(table, x, spec):
 
 
 def _hash_encode_bwd(spec, res, g):
+    table, x, idx, w = res
+    return encode_grads_from_gembed(spec, table, x, idx, w, g)
+
+
+def encode_grads_from_gembed(spec, table, x, idx, w, g):
+    """(d_table, d_x) from the embedding cotangent g [N, L*F] — the shared
+    backward core used by hash_encode's VJP and the fused field path."""
     from naruto_tpu.ops.segment import dense_segment_sum, \
         dense_segment_sum_outer
 
-    table, x, idx, w = res
     n = x.shape[0]
     L, F = spec.n_levels, spec.n_features
     gl = g.reshape(n, L, 1, F)                            # [N, L, 1, F]
