@@ -301,7 +301,8 @@ def _fused_fwd_impl(spec, table, w1, w2, wc1, wc2, x01, uncert_raw):
     idx, w, rows, w_rep = _fused_gather(table, x01, spec)
     _, w1p, w1x, w2b, wc1b, wc2b = _fused_pack_weights(spec, w1, w2, wc1,
                                                        wc2)
-    raw = field_fused_fwd(rows, w_rep, x01, uncert_raw[:, None],
+    p16 = one_blob_encode(x01, spec.pos_n_bins).astype(jnp.bfloat16)
+    raw = field_fused_fwd(rows, w_rep, p16, uncert_raw[:, None],
                           w1x, w1p, w2b, wc1b, wc2b,
                           n_bins=spec.pos_n_bins,
                           interpret=_fused_interpret())
@@ -324,8 +325,9 @@ def _fused_bwd(spec, res, g):
     from naruto_tpu.ops.encoding import _blend_matrix
     ws = jnp.asarray(_blend_matrix(spec.n_levels, spec.n_features),
                      dtype=jnp.bfloat16)
+    p16 = one_blob_encode(x01, spec.pos_n_bins).astype(jnp.bfloat16)
     d_embed, dw1h, dw1p, dw2, dwc1, dwc2 = field_fused_bwd(
-        rows, w_rep, x01, g, w1x, stacked, w2b, wc1b, wc2b, ws,
+        rows, w_rep, p16, g, w1x, stacked, w2b, wc1b, wc2b, ws,
         n_bins=spec.pos_n_bins, interpret=_fused_interpret())
 
     d_table, _ = encode_grads_from_gembed(

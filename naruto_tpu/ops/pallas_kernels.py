@@ -116,26 +116,17 @@ def outer_cumsum_supported() -> bool:
 FBK = 2048     # points per grid step
 
 
-def _oneblob_inkernel(x01, n_bins: int):
-    """x01 [B, 3] -> [B, 3*n_bins] (ops/one_blob.py formula, per axis)."""
-    edges = jnp.linspace(0.0, 1.0, n_bins + 1, dtype=jnp.float32)
-    inv = 1.0 / ((1.0 / n_bins) * np.sqrt(2.0))
-    feats = []
-    for d in range(3):
-        z = (edges[None, :] - x01[:, d:d + 1]) * inv       # [B, n_bins+1]
-        cdf = 0.5 * (1.0 + jax.lax.erf(z))
-        feats.append(cdf[:, 1:] - cdf[:, :-1])
-    return jnp.concatenate(feats, axis=1)
-
-
-def _field_fwd_kernel(n_bins, rows_ref, w_rep_ref, x01_ref, uncert_ref,
+def _field_fwd_kernel(n_bins, rows_ref, w_rep_ref, p_ref, uncert_ref,
                       w1x_ref, w1p_ref, w2_ref, wc1_ref, wc2_ref, raw_ref):
+    # p_ref: one-blob encoding [B, 3*n_bins] bf16, computed in XLA (erf has
+    # no Mosaic lowering)
     weighted = rows_ref[:] * w_rep_ref[:]                  # [B, RF] bf16
-    p = _oneblob_inkernel(x01_ref[:].astype(jnp.float32), n_bins)
+    p16 = p_ref[:]
+    p = p16.astype(jnp.float32)
     a1 = (jax.lax.dot_general(weighted, w1x_ref[:],
                               (((1,), (0,)), ((), ())),
                               preferred_element_type=jnp.float32)
-          + jax.lax.dot_general(p.astype(jnp.bfloat16), w1p_ref[:],
+          + jax.lax.dot_general(p16, w1p_ref[:],
                                 (((1,), (0,)), ((), ())),
                                 preferred_element_type=jnp.float32))
     h1 = jnp.maximum(a1, 0.0).astype(jnp.bfloat16)         # [B, H1]
@@ -156,7 +147,7 @@ def _field_fwd_kernel(n_bins, rows_ref, w_rep_ref, x01_ref, uncert_ref,
          jnp.zeros((sdf.shape[0], 3), jnp.float32)], axis=1)
 
 
-def _field_bwd_kernel(n_bins, rows_ref, w_rep_ref, x01_ref, g_ref,
+def _field_bwd_kernel(n_bins, rows_ref, w_rep_ref, p_ref, g_ref,
                       w1x_ref, w1p_ref, w2_ref, wc1_ref, wc2_ref, ws_ref,
                       dembed_ref, dw1h_ref, dw1p_ref, dw2_ref, dwc1_ref,
                       dwc2_ref):
@@ -164,11 +155,12 @@ def _field_bwd_kernel(n_bins, rows_ref, w_rep_ref, x01_ref, g_ref,
     nb = pl.num_programs(0)
 
     # ---- recompute forward (w1p_ref is STACKED: [POS pos rows; LF hash
-    # rows] — slice the positional part for the a1 recompute)
+    # rows] — slice the positional part for the a1 recompute; p_ref is the
+    # XLA-computed one-blob encoding, bf16)
     POS = 3 * n_bins
     weighted = rows_ref[:] * w_rep_ref[:]
-    p = _oneblob_inkernel(x01_ref[:].astype(jnp.float32), n_bins)
-    p16 = p.astype(jnp.bfloat16)
+    p16 = p_ref[:]
+    p = p16.astype(jnp.float32)
     embed = jax.lax.dot_general(weighted, ws_ref[:],
                                 (((1,), (0,)), ((), ())),
                                 preferred_element_type=jnp.float32)
@@ -178,6 +170,7 @@ def _field_bwd_kernel(n_bins, rows_ref, w_rep_ref, x01_ref, g_ref,
           + jax.lax.dot_general(p16, w1p_ref[0:POS, :],
                                 (((1,), (0,)), ((), ())),
                                 preferred_element_type=jnp.float32))
+
     relu1 = (a1 > 0.0)
     h1 = jnp.maximum(a1, 0.0).astype(jnp.bfloat16)
     out2 = jax.lax.dot_general(h1, w2_ref[:], (((1,), (0,)), ((), ())),
@@ -263,19 +256,20 @@ def _pad_rows(x, mult):
 
 
 @functools.partial(jax.jit, static_argnames=("n_bins", "interpret"))
-def field_fused_fwd(rows, w_rep, x01, uncert, w1x, w1p, w2, wc1, wc2,
+def field_fused_fwd(rows, w_rep, p, uncert, w1x, w1p, w2, wc1, wc2,
                     n_bins: int = 16, interpret: bool = False):
     """Fused forward: raw [N, 5] = [rgb(3), sdf, uncert] (pre-sigmoid rgb).
 
     rows/w_rep: [N, RF] bf16 gathered corner features and repeated weights;
-    x01 [N, 3] f32; uncert [N, 1] f32 (pre-computed grid sample);
+    p [N, 3*n_bins] bf16 one-blob encoding (erf runs in XLA — no Mosaic
+    lowering); uncert [N, 1] f32 (pre-computed grid sample);
     w1x [RF, H1] blend-folded hash weight, w1p [POS, H1], w2 [H1, 16],
     wc1 [64, H1] (row 63 zero), wc2 [H1, 8] (cols 3..7 zero), all bf16.
     """
-    n = x01.shape[0]
+    n = p.shape[0]
     rows = _pad_rows(rows, FBK)
     w_rep = _pad_rows(w_rep, FBK)
-    x01p = _pad_rows(x01, FBK)
+    x01p = _pad_rows(p, FBK)
     uncertp = _pad_rows(uncert, FBK)
     npad = x01p.shape[0]
     grid = npad // FBK
@@ -289,7 +283,7 @@ def field_fused_fwd(rows, w_rep, x01, uncert, w1x, w1p, w2, wc1, wc2,
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((FBK, w_rep.shape[1]), lambda b: (b, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((FBK, 3), lambda b: (b, 0),
+            pl.BlockSpec((FBK, 3 * n_bins), lambda b: (b, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((FBK, 1), lambda b: (b, 0),
                          memory_space=pltpu.VMEM),
@@ -308,20 +302,21 @@ def field_fused_fwd(rows, w_rep, x01, uncert, w1x, w1p, w2, wc1, wc2,
 
 
 @functools.partial(jax.jit, static_argnames=("n_bins", "interpret"))
-def field_fused_bwd(rows, w_rep, x01, g_raw, w1x, w1p_stacked, w2, wc1,
+def field_fused_bwd(rows, w_rep, p, g_raw, w1x, w1p_stacked, w2, wc1,
                     wc2, ws, n_bins: int = 16, interpret: bool = False):
     """Fused backward: recomputes the forward and returns
     (d_embed [N, LF] f32, dw1h [LF, H1], dw1p [POS, H1], dw2, dwc1, dwc2).
 
+    p: [N, 3*n_bins] bf16 one-blob encoding (from XLA);
     w1p_stacked: [POS + LF, H1] — positional weight rows followed by the
     COMPACT hash weight rows (used for d_embed); ws: [RF, LF] bf16 blend
     selection matrix (recomputes the embedding for dW1h)."""
-    n = x01.shape[0]
+    n = p.shape[0]
     lf = ws.shape[1]
     pos = 3 * n_bins
     rows = _pad_rows(rows, FBK)
     w_rep = _pad_rows(w_rep, FBK)
-    x01p = _pad_rows(x01, FBK)
+    x01p = _pad_rows(p, FBK)
     g8 = jnp.concatenate(
         [g_raw, jnp.zeros((n, 3), jnp.float32)], axis=1)
     g8 = _pad_rows(g8, FBK)
@@ -337,7 +332,7 @@ def field_fused_bwd(rows, w_rep, x01, g_raw, w1x, w1p_stacked, w2, wc1,
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((FBK, w_rep.shape[1]), lambda b: (b, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((FBK, 3), lambda b: (b, 0),
+            pl.BlockSpec((FBK, 3 * n_bins), lambda b: (b, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((FBK, 8), lambda b: (b, 0),
                          memory_space=pltpu.VMEM),
