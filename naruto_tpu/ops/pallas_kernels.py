@@ -113,7 +113,7 @@ def outer_cumsum_supported() -> bool:
 # segment sum as before. Pallas counterpart of tcnn's FullyFusedMLP+encoding
 # composition (/root/reference/src/slam/coslam/model/decoder.py:48-59).
 
-FBK = 2048     # points per grid step
+FBK = 1024     # points per grid step (2048 OOMs the 16MB scoped VMEM in bwd)
 
 
 def _field_fwd_kernel(n_bins, rows_ref, w_rep_ref, p_ref, uncert_ref,
