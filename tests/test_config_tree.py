@@ -61,3 +61,22 @@ class TestProjection:
         p = jnp.asarray([[0.0], [0], [0], [1]])
         out = transform3d(T, p)
         np.testing.assert_allclose(np.asarray(out[:3, 0]), [1, 2, 3])
+
+
+def test_parity_config_restores_reference_numerics():
+    """configs/parity.yaml pins the exact tcnn layout + fp32 math."""
+    import pathlib
+
+    from naruto_tpu.config import load_config
+
+    root = pathlib.Path(__file__).resolve().parents[1]
+    cfg = load_config(str(root / "configs" / "parity.yaml"))
+    assert cfg.grid.layout == "vertex"
+    assert cfg.grid.n_levels == 16
+    assert cfg.grid.n_features_per_level == 2
+    assert cfg.grid.table_dtype == "float32"
+    assert cfg.decoder.mlp_dtype == "float32"
+    assert not cfg.decoder.fused_field
+    # and the shipped default is the fast path
+    from naruto_tpu.config import make_config
+    assert make_config("Replica", "office0").grid.layout == "cell"
