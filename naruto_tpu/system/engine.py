@@ -62,6 +62,18 @@ class Engine:
                                cfg.general.scene)
         self.mapper.result_dir = run_dir
 
+        # config provenance: dump the merged config next to the artifacts
+        # (ref dumps the merged Co-SLAM dict to coslam/config.json,
+        #  coslam.py:47-52)
+        try:
+            import json
+
+            os.makedirs(run_dir, exist_ok=True)
+            with open(os.path.join(run_dir, "config.json"), "w") as f:
+                json.dump(cfg.to_dict(), f, indent=1, default=str)
+        except OSError:
+            pass
+
         self.visualizer = None
         if cfg.vis.enable_all_vis:
             from naruto_tpu.visualization.saver import ArtifactSaver
