@@ -244,12 +244,12 @@ def _blend(rows: jnp.ndarray, w: jnp.ndarray, spec: HashGridSpec,
     accumulation — no [n, L, 8, F] float32 materialization (a multi-ms
     reshape/fusion in the straightforward formulation on v5e)."""
     L, F = spec.n_levels, spec.n_features
-    # broadcast-multiply over the trailing F axis (a jnp.repeat of w to
-    # [n, L*8*F] lowered to a ~3.7 ms/iter materializing reshape on v5e;
-    # the 3-D broadcast fuses into the multiply)
-    weighted = (rows.reshape(n, L * 8, F)
-                * w.reshape(n, L * 8, 1).astype(rows.dtype)
-                ).reshape(n, L * 8 * F)
+    # NOTE: the repeat materializes [n, L*8*F] (~3.7 ms/iter reshape in the
+    # profile) but the "obvious" fix — a 3-D broadcast multiply with F as a
+    # minor dim — compiled 3x SLOWER overall (narrow 8-lane minor layouts);
+    # measured and reverted. Keep the repeat.
+    w_rep = jnp.repeat(w.reshape(n, L * 8).astype(rows.dtype), F, axis=1)
+    weighted = rows * w_rep
     # the selection matmul is exact 0/1; keep full precision on the fp32
     # (reference-parity) path, single-pass on the bf16 fast path
     precision = (jax.lax.Precision.HIGHEST
