@@ -250,6 +250,13 @@ class SimConfig:
     # per-frame physics step (s); 0 = objects only settle once at init
     # (active-loop parity); the reference's scripted loop uses 1/30
     physics_dt: float = 0.0
+    # gravity magnitude along world -z (the reference sets [0,-10,0] in
+    # habitat's frame and Bullet settles contacts for 1.0 s at init —
+    # habitat.py:31, habitat_simulator.py:78). Approximated here as a
+    # drop-to-first-support along -z via one raycast per object per
+    # physics step. 0 keeps pure constant-velocity kinematics (default:
+    # the shipped motion profiles describe airborne objects).
+    gravity: float = 0.0
 
 
 @dataclass

@@ -119,9 +119,11 @@ def smoothness_points(spec: FieldSpec, key, lw: LossWeights):
     shared backward segment-sum).
 
     smooth_sample == 0: the reference's full random (smooth_pts-1)^3
-    sub-grid. smooth_sample > 0: `smooth_sample` random grid locations
-    plus their +1 neighbors along each axis (4*S points) for the
-    Monte-Carlo TV estimate."""
+    sub-grid. smooth_sample > 0: per differenced axis, `smooth_sample`
+    random pair bases plus their +1 neighbor along that axis (6*S points).
+    Bases are drawn PER AXIS so only the differenced coordinate is
+    restricted to [0, n-2] while off-axis coordinates cover [0, n-1] —
+    an unbiased Monte-Carlo TV estimate (boundary slices included)."""
     n = lw.smooth_pts - 1
     bound = jnp.asarray(spec.bound_np)
     extent = bound[:, 1] - bound[:, 0]
@@ -132,12 +134,19 @@ def smoothness_points(spec: FieldSpec, key, lw: LossWeights):
     jitter = jax.random.uniform(k2, (1, 3) if lw.smooth_sample else (1, 1, 1, 3))
     if lw.smooth_sample:
         s = lw.smooth_sample
-        base = jax.random.randint(k3, (s, 3), 0, n - 1).astype(jnp.float32)
+        # per-axis bases: the differenced axis uniform in [0, n-2],
+        # off-axis coordinates uniform in [0, n-1]
+        k3a, k3b = jax.random.split(k3)
+        base = jax.random.randint(
+            k3a, (3, s, 3), 0, n).astype(jnp.float32)    # [axis, S, 3]
+        diffc = jax.random.randint(
+            k3b, (3, s, 1), 0, n - 1).astype(jnp.float32)
+        eye = jnp.eye(3, dtype=jnp.float32)
+        base = jnp.where(eye[:, None, :] > 0.5, diffc, base)
         pts = jnp.concatenate([
-            base,
-            base + jnp.asarray([1.0, 0.0, 0.0]),
-            base + jnp.asarray([0.0, 1.0, 0.0]),
-            base + jnp.asarray([0.0, 0.0, 1.0]),
+            base[0], base[0] + eye[0],
+            base[1], base[1] + eye[1],
+            base[2], base[2] + eye[2],
         ], axis=0)
         pts = (pts + jitter) * lw.smooth_vox + bound[:, 0] + offset
         x01 = (pts - bound[:, 0]) / extent
@@ -158,12 +167,12 @@ def smoothness_tv(embed: jnp.ndarray, n: int, lw: LossWeights):
     that axis's full pair count (n-1)*n*n."""
     if lw.smooth_sample:
         s = lw.smooth_sample
-        base, ex, ey, ez = (embed[:s], embed[s:2 * s], embed[2 * s:3 * s],
-                            embed[3 * s:])
+        bx, ex, by, ey, bz, ez = (embed[i * s:(i + 1) * s]
+                                  for i in range(6))
         pairs_per_axis = (n - 1) * n * n
-        tv = (jnp.mean(jnp.sum(jnp.square(ex - base), axis=-1))
-              + jnp.mean(jnp.sum(jnp.square(ey - base), axis=-1))
-              + jnp.mean(jnp.sum(jnp.square(ez - base), axis=-1))
+        tv = (jnp.mean(jnp.sum(jnp.square(ex - bx), axis=-1))
+              + jnp.mean(jnp.sum(jnp.square(ey - by), axis=-1))
+              + jnp.mean(jnp.sum(jnp.square(ez - bz), axis=-1))
               ) * pairs_per_axis
         return tv / (lw.smooth_pts ** 3)
     emb = embed.reshape(n, n, n, -1)

@@ -304,7 +304,7 @@ class Mapper:
         z_noise = jax.random.uniform(k_render, (n, self.rc.n_samples))
 
         def _to_varying(x):
-            return jax.lax.pvary(x, "data")
+            return jax.lax.pcast(x, "data", to="varying")
 
         def shard_grads(params, key, rays_o, rays_d, t_rgb, t_d, mask,
                         z_noise):
@@ -807,10 +807,37 @@ class Mapper:
         with open(path, "wb") as f:
             pickle.dump(state_np, f)
 
+    def _check_param_compat(self, loaded_params: Dict) -> None:
+        """Fail fast with a config hint when a checkpoint was written under
+        a different table layout/shape (e.g. grid.layout flipped between
+        "cell" and "vertex" — the row width differs 8x; ADVICE r2)."""
+        cur = self.state.params
+        lk, ck = set(loaded_params), set(cur)
+        mism = [f"param set differs: ckpt has {sorted(lk - ck)} extra, "
+                f"missing {sorted(ck - lk)}"] if lk != ck else []
+        for k in (lk & ck):
+            ls = np.shape(loaded_params[k]) if not isinstance(
+                loaded_params[k], (list, tuple)) else None
+            if ls is None:
+                if len(loaded_params[k]) != len(cur[k]):
+                    mism.append(f"{k}: ckpt has {len(loaded_params[k])} "
+                                f"arrays vs {len(cur[k])}")
+                continue
+            if ls != np.shape(cur[k]):
+                mism.append(f"{k}: ckpt shape {ls} vs configured "
+                            f"{np.shape(cur[k])}")
+        if mism:
+            raise ValueError(
+                "checkpoint incompatible with the configured field "
+                "(likely saved under a different grid.layout / grid size — "
+                "set grid.layout / configs/parity.yaml to match the run "
+                "that wrote it): " + "; ".join(mism))
+
     def load_ckpt(self, path: str) -> None:
         import pickle
         with open(path, "rb") as f:
             blob = pickle.load(f)
+        self._check_param_compat(blob["params"])
         params = jax.tree_util.tree_map(jnp.asarray, blob["params"])
         poses = jnp.asarray(blob["poses"])
         self.state = self.state._replace(params=params, poses=poses)
@@ -835,6 +862,7 @@ class Mapper:
 
         with open(path, "rb") as f:
             blob = pickle.load(f)
+        self._check_param_compat(blob["params"])
         self.step = int(blob.pop("__step__", 0))
         state = jax.tree_util.tree_map(jnp.asarray, blob)
         self.state = MapperState(**state)

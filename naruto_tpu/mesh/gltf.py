@@ -12,8 +12,9 @@ raycaster (sim/raycast.py) as merged (verts, faces, per-vertex colors):
   * textured materials: the base-color texture is sampled at each vertex's
     TEXCOORD_0 and baked to per-vertex colors (the raycaster interpolates
     vertex colors across triangles — adequate for rgb-loss supervision);
-    PNG textures are decoded with a built-in zlib-based decoder, JPEG falls
-    back to the material baseColorFactor with a warning
+    PNG textures are decoded with a built-in zlib-based decoder; JPEG (and
+    other formats) decode through PIL/OpenCV when present, else fall back
+    to the material baseColorFactor with a warning
   * sparse accessors, byte-stride interleaving
 """
 from __future__ import annotations
@@ -204,9 +205,34 @@ def _texture_image(gltf: Dict, buffers: List[bytes], base_dir: str,
         else:
             with open(os.path.join(base_dir, img["uri"]), "rb") as f:
                 blob = f.read()
-        return decode_png(blob)
+        if blob[:8] == b"\x89PNG\r\n\x1a\n":
+            return decode_png(blob)
+        return _decode_image_external(blob)
     except Exception:
-        return None      # JPEG or malformed — caller falls back
+        return None      # unsupported or malformed — caller falls back
+
+
+def _decode_image_external(blob: bytes) -> Optional[np.ndarray]:
+    """Decode non-PNG textures (JPEG is common in MP3D glbs) via PIL or
+    OpenCV when available -> [H, W, 3] float32 in [0, 1]; None otherwise."""
+    try:
+        import io
+
+        from PIL import Image
+
+        arr = np.asarray(Image.open(io.BytesIO(blob)).convert("RGB"))
+        return arr.astype(np.float32) / 255.0
+    except Exception:
+        pass
+    try:
+        import cv2
+
+        bgr = cv2.imdecode(np.frombuffer(blob, np.uint8), cv2.IMREAD_COLOR)
+        if bgr is None:
+            return None
+        return bgr[..., ::-1].astype(np.float32) / 255.0
+    except Exception:
+        return None
 
 
 def load_gltf(path: str, quiet: bool = False

@@ -54,6 +54,13 @@ def dense_segment_sum_outer(indices: jnp.ndarray, a: jnp.ndarray,
     """
     m, ka = a.shape
     kb = b.shape[1]
+    if ka % 2 or kb % 2:
+        raise ValueError(
+            f"dense_segment_sum_outer packs bf16 factor PAIRS into int32 "
+            f"sort operands and needs even factor widths; got a:{ka} b:{kb} "
+            f"(e.g. grid.n_features_per_level must be even — use "
+            f"dense_segment_sum on the expanded outer product for odd "
+            f"widths)")
     a16 = a.astype(jnp.bfloat16).reshape(m, ka // 2, 2).view(jnp.int32)[..., 0]
     b16 = b.astype(jnp.bfloat16).reshape(m, kb // 2, 2).view(jnp.int32)[..., 0]
     ops = (indices.astype(jnp.int32),) + tuple(
@@ -83,12 +90,13 @@ def dense_segment_sum_outer(indices: jnp.ndarray, a: jnp.ndarray,
                 [sb16, jnp.zeros((pad, kb), sb16.dtype)])
         interp = jax.default_backend() != "tpu"
         cs_inc = outer_cumsum(sa16, sb16, interpret=interp)  # inclusive
-        lb = jnp.concatenate([jnp.zeros((1,), ub.dtype), ub[:-1]])
+        # hi[t] = total of all entries with key <= t (monotone per slot);
+        # per-slot sums are adjacent differences — ONE boundary gather
+        # instead of two (the lo gather is just hi shifted by one slot)
         hi = jnp.where((ub > 0)[:, None],
                        cs_inc[jnp.maximum(ub - 1, 0)], 0.0)
-        lo = jnp.where((lb > 0)[:, None],
-                       cs_inc[jnp.maximum(lb - 1, 0)], 0.0)
-        return hi - lo
+        return hi - jnp.concatenate(
+            [jnp.zeros((1, hi.shape[1]), hi.dtype), hi[:-1]])
 
     sa = sa16.astype(jnp.float32)
     sb = sb16.astype(jnp.float32)
@@ -96,8 +104,9 @@ def dense_segment_sum_outer(indices: jnp.ndarray, a: jnp.ndarray,
     cs = jnp.concatenate(
         [jnp.zeros((1, ka * kb), jnp.float32), jnp.cumsum(sv, axis=0)],
         axis=0)
-    lb = jnp.concatenate([jnp.zeros((1,), ub.dtype), ub[:-1]])
-    return cs[ub] - cs[lb]
+    hi = cs[ub]
+    return hi - jnp.concatenate(
+        [jnp.zeros((1, hi.shape[1]), hi.dtype), hi[:-1]])
 
 
 def dense_segment_sum(indices: jnp.ndarray, values: jnp.ndarray,
@@ -131,5 +140,6 @@ def dense_segment_sum(indices: jnp.ndarray, values: jnp.ndarray,
     cs = jnp.concatenate(
         [jnp.zeros((1, f), values.dtype), jnp.cumsum(sv, axis=0)], axis=0)
     ub = _merge_ranks(si, size)                          # keys <= t
-    lb = jnp.concatenate([jnp.zeros((1,), ub.dtype), ub[:-1]])
-    return cs[ub] - cs[lb]
+    hi = cs[ub]
+    return hi - jnp.concatenate(
+        [jnp.zeros((1, f), hi.dtype), hi[:-1]])

@@ -45,7 +45,9 @@ def build_config(args):
     if args.result_dir:
         over["general"]["result_dir"] = args.result_dir
     if args.enable_vis:
-        over["vis"] = {"enable_all_vis": True}
+        # mirrors the reference --enable_vis: artifact saving plus the live
+        # rgbd window when a display exists (visualizer.py:67-106)
+        over["vis"] = {"enable_all_vis": True, "vis_rgbd": True}
     if args.sim:
         over["sim"] = {"method": args.sim}
     if args.scene_path:

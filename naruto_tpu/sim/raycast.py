@@ -179,6 +179,7 @@ class RaycastSimulator(Simulator):
                 "vel": R_cam @ vel,
                 "angvel": R_cam @ ang,                # rad/s, world frame
                 "rot": R0,
+                "obj_verts": v,                       # for support casts
             })
             self._set_pose_from_state(self._obj_states[-1])
 
@@ -205,13 +206,49 @@ class RaycastSimulator(Simulator):
         T[:3, 3] = st["pos"]
         self.set_object_pose(st["id"], T)
 
+    def _support_distance(self, st) -> float:
+        """Distance from the object's lowest point to the first surface
+        straight below it (world -z), via ONE 1x1-pixel depth render cast
+        from just under the object (so its own triangles can't self-hit).
+        Returns np.inf on a miss."""
+        zmin = float((st["obj_verts"] @ st["rot"].T)[:, 2].min())
+        origin = st["pos"] + np.array([0.0, 0.0, zmin - 1e-3], np.float32)
+        # RDF camera looking along world -z: columns [right, down, forward]
+        c2w = np.eye(4, dtype=np.float32)
+        c2w[:3, 0] = (1, 0, 0)     # right
+        c2w[:3, 1] = (0, -1, 0)    # down
+        c2w[:3, 2] = (0, 0, -1)    # forward = world -z
+        c2w[:3, 3] = origin
+        pose = np.ascontiguousarray(c2w).reshape(16)
+        color = np.empty((1, 1, 3), dtype=np.float32)
+        depth = np.empty((1, 1), dtype=np.float32)
+        self._lib.rc_render_pinhole(
+            self._handle, _fp(pose), 1, 1,
+            ctypes.c_float(1.0), ctypes.c_float(1.0),
+            ctypes.c_float(0.5), ctypes.c_float(0.5),
+            _fp(color), _fp(depth))
+        d = float(depth[0, 0])
+        return d if d > 0.0 else np.inf
+
     def step_physics(self, dt: float) -> None:
         """Advance rigid-object states: constant linear/angular velocity
-        integration (the reference delegates to Bullet via habitat's
-        step_physics; gravity/contacts are out of scope here — constant
-        velocities match the shipped motion profiles)."""
+        integration, plus (when sim.gravity > 0) a vertical free-fall
+        clamped at the first support below the object — the one-raycast
+        approximation of the reference's Bullet gravity/contact settle
+        (habitat_simulator.py:76-79). Bounce/roll/friction are out of
+        scope; a clamped object comes to vertical rest."""
+        g = float(self.cfg.sim.gravity)
         for st in self._obj_states:
             st["pos"] = st["pos"] + st["vel"] * dt
+            if g > 0.0:
+                drop = 0.5 * g * dt * dt          # fall accrued this step
+                support = self._support_distance(st)
+                if drop >= support - 1e-3:        # contact: come to rest
+                    st["pos"][2] -= max(support - 1e-3, 0.0)
+                    st["vel"][2] = 0.0
+                else:
+                    st["pos"][2] -= drop
+                    st["vel"][2] -= g * dt
             w = st["angvel"] * dt
             if np.linalg.norm(w) > 0:
                 st["rot"] = _rotvec_matrix(w) @ st["rot"]

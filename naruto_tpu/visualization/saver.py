@@ -96,5 +96,26 @@ class ArtifactSaver:
         djet = (cm.jet(dn)[..., :3] * 255).astype(np.uint8)
         rgb = (np.clip(color, 0, 1) * 255).astype(np.uint8)
         panel = np.concatenate([rgb, djet], axis=1)
-        cv2.imwrite(self._p("rgbd", "png"),
-                    cv2.cvtColor(panel, cv2.COLOR_RGB2BGR))
+        bgr = cv2.cvtColor(panel, cv2.COLOR_RGB2BGR)
+        cv2.imwrite(self._p("rgbd", "png"), bgr)
+        if self.vcfg.vis_rgbd:
+            self._show_live(bgr)
+
+    def _show_live(self, bgr: np.ndarray) -> None:
+        """Live side-by-side RGB | jet-depth window (ref visualize_rgbd,
+        src/visualization/visualizer.py:67-106). No-ops quietly when no
+        display/GUI backend exists (headless CI)."""
+        if getattr(self, "_live_failed", False):
+            return
+        import os
+
+        if not (os.environ.get("DISPLAY") or os.name == "nt"):
+            self._live_failed = True
+            return
+        try:
+            import cv2
+
+            cv2.imshow("naruto_tpu rgbd", bgr)
+            cv2.waitKey(1)
+        except Exception:
+            self._live_failed = True

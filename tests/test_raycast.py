@@ -135,6 +135,32 @@ class TestDynamicObjects:
         # 10 steps x 0.2s x 0.5 m/s = +1.0m more; the old spot clears
         assert d1[20, 30 + u_off] > 2.5
 
+    def test_gravity_settles_to_support(self):
+        """With sim.gravity > 0, the initial 1.0 s settle drops an object
+        to its first support along world -z (one-raycast approximation of
+        the reference's Bullet settle, habitat_simulator.py:76-79)."""
+        from naruto_tpu.sim.raycast import RaycastSimulator
+
+        cfg = make_config("Replica", "office0", num_iter=10)
+        cfg = deep_update(cfg, {
+            "cam": {"H": 40, "W": 60, "fx": 30.0, "fy": 30.0, "cx": 29.5,
+                    "cy": 19.5},
+            "sim": {"method": "raycast", "pinhole_hw": (40, 60),
+                    "erp_hw": (16, 32), "gravity": 10.0,
+                    "objects": [{"template": "sphere:0.3",
+                                 "location": [0, 0, 1.5]}]},
+            "start_c2w": None,
+        })
+        v, f, c = box_mesh([-3, -3, -3], [3, 3, 3])
+        sim = RaycastSimulator(cfg, verts=v, faces=f, colors=c)
+        st = sim._obj_states[0]
+        # sphere (r=0.3) rests on the floor at z=-3 -> center at -2.7
+        np.testing.assert_allclose(st["pos"][2], -2.7, atol=0.01)
+        assert st["vel"][2] == 0.0
+        # a camera at the start pose no longer sees it at eye level
+        _, depth = sim.simulate(np.eye(4, dtype=np.float32))
+        assert depth[20, 30] > 2.5
+
     def test_object_rotation_profile(self):
         # a thin box rotated 90 deg about y occludes differently
         sim_plain = self._make_sim([{"template": "box:0.8,0.8,0.05",
