@@ -102,8 +102,6 @@ class DecoderConfig:
     # MLP matmul compute dtype ("bfloat16" fast path with fp32 masters and
     # fp32 MXU accumulation; "float32" = exact reference math)
     mlp_dtype: str = "float32"
-    # fused Pallas field kernels (TPU; falls back when unsupported)
-    fused_field: bool = False
 
 
 @dataclass

@@ -50,9 +50,6 @@ class FieldSpec:
     # MLP matmul compute dtype; fp32 master params live in the optimizer.
     # None/"float32" = exact reference math, "bfloat16" = fast path.
     mlp_dtype: str = "float32"
-    # route field evaluation through the fused Pallas kernels when the
-    # architecture matches (see fused_supported)
-    fused: bool = False
     voxel_sdf: float = 0.02
     pos_n_bins: int = 16
     geo_feat_dim: int = 15
@@ -215,140 +212,3 @@ def query_embed(params: Params, x01: jnp.ndarray,
     """Hash embedding only (used by the smoothness regularizer and the
     observed-region test of coslam_utils.py:84-86)."""
     return hash_encode(params["table"], x01, spec.hash_spec)
-
-
-# ================================================================ fused path
-def fused_supported(spec: FieldSpec) -> bool:
-    """The Pallas fused field kernel covers the reference architecture
-    (2x32 MLPs, 15 geo features, 32-dim hash output, one-blob 16) with
-    fixed poses; anything else falls back to the composable XLA path."""
-    import os
-
-    if os.environ.get("NARUTO_NO_PALLAS"):
-        return False
-    return (not spec.diff_positions and not spec.pred_uncert
-            and spec.uncert_grid
-            and spec.num_layers == 2 and spec.num_layers_color == 2
-            and spec.hidden_dim == 32 and spec.hidden_dim_color == 32
-            and spec.geo_feat_dim == 15 and spec.pos_n_bins == 16
-            and spec.hash_dim == 32)
-
-
-@functools.lru_cache(maxsize=8)
-def _expand_index(n_levels: int, n_features: int) -> np.ndarray:
-    """Row-expansion index: W1x[(l*8+c)*F+f] = W1h[l*F+f]."""
-    L, F = n_levels, n_features
-    idx = np.zeros((L * 8 * F,), np.int32)
-    for l in range(L):
-        for c in range(8):
-            for f in range(F):
-                idx[(l * 8 + c) * F + f] = l * F + f
-    return idx
-
-
-def _fused_interpret() -> bool:
-    return jax.default_backend() != "tpu"
-
-
-def _fused_gather(table, x01, spec: FieldSpec):
-    from naruto_tpu.ops.encoding import (_cell_indices, _corner_indices)
-
-    hs = spec.hash_spec
-    n = x01.shape[0]
-    gtable = table.astype(jnp.bfloat16)
-    if hs.layout == "cell":
-        idx, w = _cell_indices(x01, hs)
-        rows = jnp.take(gtable, idx.reshape(-1), axis=0)
-    else:
-        idx, w = _corner_indices(x01, hs)
-        rows = jnp.take(gtable, idx, axis=0)
-    rf = spec.n_levels * 8 * spec.n_features
-    rows = rows.reshape(n, rf)
-    w_rep = jnp.repeat(w.reshape(n, spec.n_levels * 8).astype(jnp.bfloat16),
-                       spec.n_features, axis=1)
-    return idx, w, rows, w_rep
-
-
-def _fused_pack_weights(spec, w1, w2, wc1, wc2):
-    exp = jnp.asarray(_expand_index(spec.n_levels, spec.n_features))
-    lf = spec.hash_dim
-    w1h = w1[:lf].astype(jnp.bfloat16)                 # [LF, 32]
-    w1p = w1[lf:].astype(jnp.bfloat16)                 # [POS, 32]
-    w1x = jnp.take(w1h, exp, axis=0)                   # [RF, 32]
-    w2b = w2.astype(jnp.bfloat16)                      # [32, 16]
-    wc1b = jnp.concatenate(
-        [wc1, jnp.zeros((1, wc1.shape[1]), wc1.dtype)],
-        axis=0).astype(jnp.bfloat16)                   # [64, 32]
-    wc2b = jnp.concatenate(
-        [wc2, jnp.zeros((wc2.shape[0], 5), wc2.dtype)],
-        axis=1).astype(jnp.bfloat16)                   # [32, 8]
-    return w1h, w1p, w1x, w2b, wc1b, wc2b
-
-
-@functools.partial(jax.custom_vjp, nondiff_argnums=(0,))
-def fused_field_query(spec: FieldSpec, table, w1, w2, wc1, wc2, x01,
-                      uncert_raw):
-    """raw [N, 5] = [rgb(3) pre-sigmoid, sdf, uncert] via the Pallas fused
-    field kernels (ops/pallas_kernels.py). Gradients flow to the table
-    (sorted segment sum), all MLP weights, and the uncertainty channel."""
-    out, _ = _fused_fwd_impl(spec, table, w1, w2, wc1, wc2, x01, uncert_raw)
-    return out
-
-
-def _fused_fwd_impl(spec, table, w1, w2, wc1, wc2, x01, uncert_raw):
-    from naruto_tpu.ops.pallas_kernels import field_fused_fwd
-
-    idx, w, rows, w_rep = _fused_gather(table, x01, spec)
-    _, w1p, w1x, w2b, wc1b, wc2b = _fused_pack_weights(spec, w1, w2, wc1,
-                                                       wc2)
-    p16 = one_blob_encode(x01, spec.pos_n_bins).astype(jnp.bfloat16)
-    raw = field_fused_fwd(rows, w_rep, p16, uncert_raw[:, None],
-                          w1x, w1p, w2b, wc1b, wc2b,
-                          n_bins=spec.pos_n_bins,
-                          interpret=_fused_interpret())
-    return raw, (table, w1, w2, wc1, wc2, x01, idx, w, rows, w_rep)
-
-
-def _fused_fwd(spec, table, w1, w2, wc1, wc2, x01, uncert_raw):
-    return _fused_fwd_impl(spec, table, w1, w2, wc1, wc2, x01, uncert_raw)
-
-
-def _fused_bwd(spec, res, g):
-    from naruto_tpu.ops.encoding import encode_grads_from_gembed
-    from naruto_tpu.ops.pallas_kernels import field_fused_bwd
-
-    table, w1, w2, wc1, wc2, x01, idx, w, rows, w_rep = res
-    lf = spec.hash_dim
-    w1h, w1p, w1x, w2b, wc1b, wc2b = _fused_pack_weights(spec, w1, w2, wc1,
-                                                         wc2)
-    stacked = jnp.concatenate([w1p, w1h], axis=0)      # [POS+LF, 32]
-    from naruto_tpu.ops.encoding import _blend_matrix
-    ws = jnp.asarray(_blend_matrix(spec.n_levels, spec.n_features),
-                     dtype=jnp.bfloat16)
-    p16 = one_blob_encode(x01, spec.pos_n_bins).astype(jnp.bfloat16)
-    d_embed, dw1h, dw1p, dw2, dwc1, dwc2 = field_fused_bwd(
-        rows, w_rep, p16, g, w1x, stacked, w2b, wc1b, wc2b, ws,
-        n_bins=spec.pos_n_bins, interpret=_fused_interpret())
-
-    d_table, _ = encode_grads_from_gembed(
-        spec.hash_spec, table, x01, idx, w, d_embed)
-    d_w1 = jnp.concatenate([dw1h, dw1p], axis=0).astype(w1.dtype)
-    d_wc1 = dwc1[:wc1.shape[0]].astype(wc1.dtype)
-    d_wc2 = dwc2[:, :wc2.shape[1]].astype(wc2.dtype)
-    d_uncert = g[:, 4]
-    d_x01 = jnp.zeros_like(x01)
-    return (d_table, d_w1, dw2.astype(w2.dtype), d_wc1, d_wc2, d_x01,
-            d_uncert)
-
-
-fused_field_query.defvjp(_fused_fwd, _fused_bwd)
-
-
-def field_query_fused(params: Params, x01: jnp.ndarray,
-                      spec: FieldSpec) -> jnp.ndarray:
-    """Drop-in for field_query through the fused Pallas kernels."""
-    x01 = jax.lax.stop_gradient(x01)
-    uncert = query_uncert(params, x01, spec)
-    return fused_field_query(
-        spec, params["table"], params["sdf_mlp"][0], params["sdf_mlp"][1],
-        params["color_mlp"][0], params["color_mlp"][1], x01, uncert)

@@ -184,8 +184,8 @@ def smoothness_tv(embed: jnp.ndarray, n: int, lw: LossWeights):
 
 def smoothness_loss(params, spec: FieldSpec, key, lw: LossWeights):
     """TV^2 of hash embeddings on a random sub-grid (standalone path; the
-    fused path feeds the same points through the render batch and calls
-    smoothness_tv on the returned embeddings)."""
+    render batch normally piggybacks the same points through
+    field_query_plus_embed and calls smoothness_tv on the embeddings)."""
     x01, n = smoothness_points(spec, key, lw)
     embed = query_embed(params, x01, spec)
     return smoothness_tv(embed, n, lw)

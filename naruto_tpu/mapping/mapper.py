@@ -131,7 +131,6 @@ class Mapper:
             table_dtype=cfg.grid.table_dtype,
             table_layout=cfg.grid.layout,
             mlp_dtype=cfg.decoder.mlp_dtype,
-            fused=cfg.decoder.fused_field,
             voxel_sdf=cfg.grid.voxel_sdf,
             pos_n_bins=cfg.grid.pos_n_bins,
             geo_feat_dim=cfg.decoder.geo_feat_dim,

@@ -119,22 +119,11 @@ def render_rays(params, spec: FieldSpec, rc: RenderConfig, key,
     pts = rays_o[:, None, :] + rays_d[:, None, :] * z_vals[..., None]
     x01 = normalize_world(pts.reshape(-1, 3), spec)
     extra_embed = None
-    from naruto_tpu.mapping.field import field_query_fused, fused_supported
-    use_fused = spec.fused and fused_supported(spec)
     if extra_pts01 is not None:
-        if use_fused:
-            # fused path: the smoothness embeddings run a separate (small)
-            # encode with its own segment sum
-            from naruto_tpu.mapping.field import query_embed
-            raw = field_query_fused(params, x01, spec).reshape(n, s, 5)
-            extra_embed = query_embed(params, extra_pts01, spec)
-        else:
-            from naruto_tpu.mapping.field import field_query_plus_embed
-            raw, extra_embed = field_query_plus_embed(params, x01,
-                                                      extra_pts01, spec)
-            raw = raw.reshape(n, s, 5)
-    elif use_fused:
-        raw = field_query_fused(params, x01, spec).reshape(n, s, 5)
+        from naruto_tpu.mapping.field import field_query_plus_embed
+        raw, extra_embed = field_query_plus_embed(params, x01,
+                                                  extra_pts01, spec)
+        raw = raw.reshape(n, s, 5)
     else:
         raw = field_query(params, x01, spec).reshape(n, s, 5)
 

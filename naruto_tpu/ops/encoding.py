@@ -221,6 +221,19 @@ def _corner_indices(x: jnp.ndarray, spec: HashGridSpec):
 
 
 @functools.lru_cache(maxsize=8)
+def _repeat_matrix(n_levels: int, n_features: int) -> np.ndarray:
+    """One-hot matrix R [L*8, L*8*F] with R[i, i*F+f] = 1: w_rep = w @ R
+    replicates each corner weight across its F feature columns as ONE MXU
+    matmul — the jnp.repeat formulation costs a multi-ms narrow-minor
+    reshape on v5e. Cached as NUMPY (jnp constants leak tracers)."""
+    L, F = n_levels, n_features
+    r = np.zeros((L * 8, L * 8 * F), dtype=np.float32)
+    for i in range(L * 8):
+        r[i, i * F:(i + 1) * F] = 1.0
+    return r
+
+
+@functools.lru_cache(maxsize=8)
 def _blend_matrix(n_levels: int, n_features: int) -> np.ndarray:
     """Selection matrix S [L*8*F, L*F] folding the 8-corner blend into one
     MXU matmul: out = (rows * w_rep) @ S. S[(l*8+c)*F + f, l*F + f] = 1.
@@ -244,16 +257,19 @@ def _blend(rows: jnp.ndarray, w: jnp.ndarray, spec: HashGridSpec,
     accumulation — no [n, L, 8, F] float32 materialization (a multi-ms
     reshape/fusion in the straightforward formulation on v5e)."""
     L, F = spec.n_levels, spec.n_features
-    # NOTE: the repeat materializes [n, L*8*F] (~3.7 ms/iter reshape in the
-    # profile) but the "obvious" fix — a 3-D broadcast multiply with F as a
-    # minor dim — compiled 3x SLOWER overall (narrow 8-lane minor layouts);
-    # measured and reverted. Keep the repeat.
-    w_rep = jnp.repeat(w.reshape(n, L * 8).astype(rows.dtype), F, axis=1)
-    weighted = rows * w_rep
-    # the selection matmul is exact 0/1; keep full precision on the fp32
-    # (reference-parity) path, single-pass on the bf16 fast path
+    # the selection/repeat matmuls are exact one-hot; keep full precision
+    # on the fp32 (reference-parity) path, single-pass on the bf16 fast
+    # path. (A 3-D broadcast multiply with F as a minor dim compiled 3x
+    # SLOWER — narrow 8-lane minor layouts — and jnp.repeat costs a
+    # multi-ms reshape; the repeat-matmul avoids both.)
     precision = (jax.lax.Precision.HIGHEST
                  if rows.dtype == jnp.float32 else jax.lax.Precision.DEFAULT)
+    w_rep = jax.lax.dot_general(
+        w.reshape(n, L * 8).astype(rows.dtype),
+        jnp.asarray(_repeat_matrix(L, F), dtype=rows.dtype),
+        (((1,), (0,)), ((), ())),
+        preferred_element_type=rows.dtype, precision=precision)
+    weighted = rows * w_rep
     return jax.lax.dot_general(
         weighted, jnp.asarray(_blend_matrix(L, F), dtype=rows.dtype),
         (((1,), (0,)), ((), ())),
@@ -304,7 +320,7 @@ def _hash_encode_bwd(spec, res, g):
 
 def encode_grads_from_gembed(spec, table, x, idx, w, g):
     """(d_table, d_x) from the embedding cotangent g [N, L*F] — the shared
-    backward core used by hash_encode's VJP and the fused field path."""
+    backward core behind hash_encode's VJP."""
     from naruto_tpu.ops.segment import dense_segment_sum, \
         dense_segment_sum_outer
 

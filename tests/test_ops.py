@@ -159,75 +159,3 @@ class TestMLP:
         assert all(float(jnp.abs(gi).sum()) > 0 for gi in g)
 
 
-class TestFusedField:
-    """Pallas fused field kernels (interpret mode on CPU) vs the composable
-    XLA path."""
-
-    def _spec(self, layout):
-        from naruto_tpu.mapping.field import FieldSpec
-        return FieldSpec(bound=((-1, 1), (-1, 1), (-1, 1)), n_levels=4,
-                         n_features=8, log2_hashmap_size=10,
-                         base_resolution=4, voxel_sdf=0.1,
-                         table_dtype="bfloat16", table_layout=layout,
-                         mlp_dtype="bfloat16", uncert_voxel_size=0.5,
-                         fused=True)
-
-    @pytest.mark.parametrize("layout", ["cell", "vertex"])
-    def test_forward_matches_unfused(self, rng, layout):
-        import jax
-        from naruto_tpu.mapping.field import (field_query,
-                                              field_query_fused,
-                                              fused_supported,
-                                              init_field_params)
-
-        spec = self._spec(layout)
-        assert fused_supported(spec)
-        params = init_field_params(jax.random.PRNGKey(0), spec)
-        # non-trivial table so the blend matters
-        params["table"] = params["table"] * 1e3
-        x01 = jnp.asarray(rng.uniform(0.05, 0.95, (600, 3)),
-                          jnp.float32)
-        ref = np.asarray(field_query(params, x01, spec))
-        got = np.asarray(field_query_fused(params, x01, spec))
-        scale = np.abs(ref).max() + 1e-6
-        np.testing.assert_allclose(got / scale, ref / scale, atol=2e-2)
-
-    def test_grads_match_unfused(self, rng):
-        import jax
-        from naruto_tpu.mapping.field import (field_query,
-                                              field_query_fused,
-                                              init_field_params)
-
-        spec = self._spec("cell")
-        params = init_field_params(jax.random.PRNGKey(0), spec)
-        params["table"] = params["table"] * 1e3
-        x01 = jnp.asarray(rng.uniform(0.05, 0.95, (600, 3)), jnp.float32)
-        tgt = jnp.asarray(rng.normal(size=(600, 5)), jnp.float32)
-
-        def loss_fused(p):
-            return jnp.sum(jnp.square(field_query_fused(p, x01, spec) - tgt))
-
-        def loss_ref(p):
-            return jnp.sum(jnp.square(field_query(p, x01, spec) - tgt))
-
-        g_f = jax.grad(loss_fused)(params)
-        g_r = jax.grad(loss_ref)(params)
-
-        def check(a, b):
-            # fused and unfused paths round activations to bf16 at
-            # slightly different points; points sitting exactly on a relu
-            # boundary can flip, so allow isolated element disagreements
-            # (<0.1%) while requiring the bulk to match
-            a, b = np.asarray(a), np.asarray(b)
-            s = np.abs(b).max() + 1e-6
-            d = np.abs(a - b) / s
-            assert np.mean(d) < 5e-3, np.mean(d)
-            assert np.quantile(d, 0.99) < 5e-2, np.quantile(d, 0.99)
-
-        for k in ("table", "uncert_grid"):
-            check(g_f[k], g_r[k])
-        for a, b in zip(jax.tree_util.tree_leaves(g_f["sdf_mlp"])
-                        + jax.tree_util.tree_leaves(g_f["color_mlp"]),
-                        jax.tree_util.tree_leaves(g_r["sdf_mlp"])
-                        + jax.tree_util.tree_leaves(g_r["color_mlp"])):
-            check(a, b)
