@@ -73,7 +73,8 @@ def main() -> None:
     t0 = time.perf_counter()
     mapper.state = ba(mapper.state, frame_rays, jnp.asarray(c2w), 110,
                       jax.random.PRNGKey(1))
-    jax.block_until_ready(mapper.state.params["table"])
+    jax.block_until_ready(
+        jax.tree_util.tree_leaves(mapper.state.params["table"])[0])
     compile_s = time.perf_counter() - t0
 
     # timed steps. NOTE: this backend's block_until_ready can return before
@@ -85,7 +86,8 @@ def main() -> None:
     for i in range(n_steps):
         mapper.state = ba(mapper.state, frame_rays, jnp.asarray(c2w),
                           110 + i, jax.random.PRNGKey(2 + i))
-        sink += float(mapper.state.params["table"][0, 0])
+        sink += float(jax.tree_util.tree_leaves(
+            mapper.state.params["table"])[0].ravel()[0])
     elapsed = time.perf_counter() - t0
 
     iters = n_steps * cfg.mapper.iters

@@ -76,10 +76,13 @@ class GridConfig:
     # "vertex" = exact instant-ngp/tcnn vertex-keyed rows; "cell" = one row
     # per cell with all 8 corner features contiguous (wide-row gathers are
     # ~6x faster on TPU and the backward sorts 8x fewer keys; corners are
-    # per-cell copies — ~2.5x throughput for ~0.2cm accuracy on the 1000-
-    # step analytic A/B, PERFORMANCE.md). Default "cell"; set "vertex" (or
-    # load configs/parity.yaml) for exact tcnn layout semantics.
-    layout: str = "cell"
+    # per-cell copies); "hybrid" = cell-speed reads with TRUE shared-vertex
+    # parameters on the dense coarse levels (their wide rows are derived by
+    # 8 static slices each evaluation — exact tcnn semantics there; only
+    # hashed fine levels keep per-cell copies). Default "hybrid"; set
+    # "vertex" (or load configs/parity.yaml) for exact tcnn semantics on
+    # every level. Quality A/B in PERFORMANCE.md.
+    layout: str = "hybrid"
     base_resolution: int = 16
     voxel_sdf: float = 0.02         # finest resolution = max bbox len / this
     voxel_color: float = 0.08

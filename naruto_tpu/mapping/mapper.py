@@ -89,7 +89,9 @@ def _make_map_optimizer(cfg: MainConfig):
     )
     def label_fn(params):
         return {
-            "table": "embed",
+            # hybrid layout: the table param is a {hash, dense} pytree
+            "table": jax.tree_util.tree_map(lambda _: "embed",
+                                            params["table"]),
             "sdf_mlp": ["decoder"] * len(params["sdf_mlp"]),
             "color_mlp": ["decoder"] * len(params["color_mlp"]),
         }
@@ -814,17 +816,12 @@ class Mapper:
         lk, ck = set(loaded_params), set(cur)
         mism = [f"param set differs: ckpt has {sorted(lk - ck)} extra, "
                 f"missing {sorted(ck - lk)}"] if lk != ck else []
+        tu = jax.tree_util
         for k in (lk & ck):
-            ls = np.shape(loaded_params[k]) if not isinstance(
-                loaded_params[k], (list, tuple)) else None
-            if ls is None:
-                if len(loaded_params[k]) != len(cur[k]):
-                    mism.append(f"{k}: ckpt has {len(loaded_params[k])} "
-                                f"arrays vs {len(cur[k])}")
-                continue
-            if ls != np.shape(cur[k]):
-                mism.append(f"{k}: ckpt shape {ls} vs configured "
-                            f"{np.shape(cur[k])}")
+            ls = [np.shape(x) for x in tu.tree_leaves(loaded_params[k])]
+            cs = [np.shape(x) for x in tu.tree_leaves(cur[k])]
+            if ls != cs:
+                mism.append(f"{k}: ckpt leaf shapes {ls} vs configured {cs}")
         if mism:
             raise ValueError(
                 "checkpoint incompatible with the configured field "

@@ -55,6 +55,13 @@ class HashGridSpec:
     #             between cells (each cell trains its own copies), so the
     #             field is continuous within cells but not across faces;
     #             reconstruction quality is validated in tests/bench.
+    #   "hybrid": cell-speed reads with shared-vertex TRAINING on dense
+    #             levels — the coarse (dense-indexed) levels' parameters are
+    #             true vertex grids and their wide cell rows are DERIVED
+    #             each evaluation by 8 static slices (no gather, ~free);
+    #             exact tcnn semantics on those levels. Only the hashed
+    #             fine levels keep independent per-cell corner copies
+    #             (collisions make the cell->vertex map non-invertible).
     layout: str = "vertex"
 
     @property
@@ -78,15 +85,34 @@ class HashGridSpec:
             for l in range(self.n_levels)
         )
 
+    @property
+    def cell_rows(self) -> bool:
+        """True when gather rows are per-CELL (8 corners wide)."""
+        return self.layout in ("cell", "hybrid")
+
     @functools.cached_property
     def level_sizes(self) -> Tuple[int, ...]:
         """Rows per level: dense count when it fits, else hash table.
-        vertex layout: (res+1)^3 vertices; cell layout: res^3 cells."""
+        vertex layout: (res+1)^3 vertices; cell/hybrid: res^3 cells."""
         sizes = []
         for res in self.resolutions:
-            dense = res ** 3 if self.layout == "cell" else (res + 1) ** 3
+            dense = res ** 3 if self.cell_rows else (res + 1) ** 3
             sizes.append(min(dense, self.table_size))
         return tuple(sizes)
+
+    @functools.cached_property
+    def dense_mask(self) -> Tuple[bool, ...]:
+        """Per level: dense-indexed (no hash) under the current layout."""
+        if self.cell_rows:
+            return tuple(r ** 3 <= self.table_size for r in self.resolutions)
+        return tuple((r + 1) ** 3 <= self.table_size
+                     for r in self.resolutions)
+
+    @property
+    def hybrid_hash_rows(self) -> int:
+        """Hybrid layout: rows of the hashed-levels cell-table parameter."""
+        return sum(s for s, d in zip(self.level_sizes, self.dense_mask)
+                   if not d)
 
     @functools.cached_property
     def level_offsets(self) -> Tuple[int, ...]:
@@ -106,8 +132,7 @@ class HashGridSpec:
     @property
     def row_features(self) -> int:
         """Feature columns per table row (cell rows pack all 8 corners)."""
-        return 8 * self.n_features if self.layout == "cell" \
-            else self.n_features
+        return 8 * self.n_features if self.cell_rows else self.n_features
 
     @classmethod
     def from_bound(cls, bound, voxel_sdf: float = 0.02, **kw) -> "HashGridSpec":
@@ -119,10 +144,83 @@ class HashGridSpec:
 
 
 def init_hash_table(key, spec: HashGridSpec, dtype=jnp.float32):
-    """tcnn-style init: uniform in [-1e-4, 1e-4]."""
-    return jax.random.uniform(
-        key, (spec.total_entries, spec.row_features), dtype=dtype,
+    """tcnn-style init: uniform in [-1e-4, 1e-4].
+
+    vertex/cell: one flat [total_entries, row_features] array.
+    hybrid: {"hash": [hybrid_hash_rows, 8F] cell rows for hashed levels,
+             "dense": [per dense level, a (R+1, R+1, R+1, F) VERTEX grid
+             stored z-major so cell (x,y,z) flattens to x + y*R + z*R^2]}.
+    """
+    if spec.layout != "hybrid":
+        return jax.random.uniform(
+            key, (spec.total_entries, spec.row_features), dtype=dtype,
+            minval=-1e-4, maxval=1e-4)
+    keys = jax.random.split(key, spec.n_levels + 1)
+    dense_grids = []
+    for li, (res, d) in enumerate(zip(spec.resolutions, spec.dense_mask)):
+        if d:
+            dense_grids.append(jax.random.uniform(
+                keys[li], (res + 1, res + 1, res + 1, spec.n_features),
+                dtype=dtype, minval=-1e-4, maxval=1e-4))
+    hash_rows = jax.random.uniform(
+        keys[-1], (spec.hybrid_hash_rows, spec.row_features), dtype=dtype,
         minval=-1e-4, maxval=1e-4)
+    return {"hash": hash_rows, "dense": dense_grids}
+
+
+def derived_cell_rows(grid: jnp.ndarray, res: int, dtype) -> jnp.ndarray:
+    """Vertex grid [(R+1)^3-shaped z-major, F] -> derived cell rows
+    [R^3, 8F] with corner c = cx*4+cy*2+cz at columns [c*F, (c+1)*F):
+    8 STATIC slices — no gather, exact shared-vertex semantics."""
+    slices = [grid[cz:cz + res, cy:cy + res, cx:cx + res, :]
+              for (cx, cy, cz) in _CORNERS]
+    rows = jnp.concatenate(slices, axis=-1).astype(dtype)
+    return rows.reshape(res ** 3, 8 * grid.shape[-1])
+
+
+def derived_gather_table(table, spec: HashGridSpec, dtype) -> jnp.ndarray:
+    """Hybrid layout: assemble the full [total_entries, 8F] gather table
+    from the vertex-grid params (dense levels) + hashed cell rows."""
+    blocks = []
+    di = 0
+    hoff = 0
+    for res, size, d in zip(spec.resolutions, spec.level_sizes,
+                            spec.dense_mask):
+        if d:
+            blocks.append(derived_cell_rows(table["dense"][di], res, dtype))
+            di += 1
+        else:
+            blocks.append(table["hash"][hoff:hoff + size].astype(dtype))
+            hoff += size
+    return jnp.concatenate(blocks, axis=0)
+
+
+def split_table_grads(d_full: jnp.ndarray, spec: HashGridSpec):
+    """Hybrid layout: split the derived-table cotangent [total, 8F] into
+    {"hash": ..., "dense": [...]} — the dense-level transpose is 8 static
+    padded slice-adds back onto the vertex grid (no scatter)."""
+    f = spec.n_features
+    hash_parts = []
+    dense_parts = []
+    for res, size, off, d in zip(spec.resolutions, spec.level_sizes,
+                                 spec.level_offsets[:-1], spec.dense_mask):
+        block = d_full[off:off + size]
+        if not d:
+            hash_parts.append(block)
+            continue
+        dcell = block.reshape(res, res, res, 8, f)     # z, y, x, corner, f
+        gv = jnp.zeros((res + 1, res + 1, res + 1, f), d_full.dtype)
+        for c, (cx, cy, cz) in enumerate(_CORNERS):
+            gv = jax.lax.dynamic_update_slice(
+                gv,
+                jax.lax.dynamic_slice(
+                    gv, (cz, cy, cx, 0), (res, res, res, f))
+                + dcell[..., c, :],
+                (cz, cy, cx, 0))
+        dense_parts.append(gv)
+    hash_grad = (jnp.concatenate(hash_parts, axis=0) if hash_parts
+                 else jnp.zeros((0, 8 * f), d_full.dtype))
+    return {"hash": hash_grad, "dense": dense_parts}
 
 
 _CORNERS = [[cx, cy, cz] for cx in (0, 1) for cy in (0, 1) for cz in (0, 1)]
@@ -276,11 +374,18 @@ def _blend(rows: jnp.ndarray, w: jnp.ndarray, spec: HashGridSpec,
         preferred_element_type=jnp.float32, precision=precision)
 
 
+def _gather_table(table, spec: HashGridSpec):
+    """The flat table rows the forward gather reads (derived for hybrid)."""
+    if spec.layout == "hybrid":
+        return derived_gather_table(table, spec, spec.gather_dtype)
+    return table.astype(spec.gather_dtype) \
+        if spec.gather_dtype != "float32" else table
+
+
 def _encode_impl(table, x, spec: HashGridSpec):
     n = x.shape[0]
-    gtable = table.astype(spec.gather_dtype) \
-        if spec.gather_dtype != "float32" else table
-    if spec.layout == "cell":
+    gtable = _gather_table(table, spec)
+    if spec.cell_rows:
         idx, w = _cell_indices(x, spec)                   # [N, L], [N, L, 8]
         rows = jnp.take(gtable, idx.reshape(-1), axis=0)  # [N*L, 8F]
         rows = rows.reshape(n, spec.n_levels * 8 * spec.n_features)
@@ -328,22 +433,31 @@ def encode_grads_from_gembed(spec, table, x, idx, w, g):
     L, F = spec.n_levels, spec.n_features
     gl = g.reshape(n, L, 1, F)                            # [N, L, 1, F]
 
-    if spec.layout == "cell":
+    if spec.cell_rows:
         # row update = outer(corner weights, level grad) — the sort carries
         # the two rank-1 factors, the 8F-wide expansion happens post-sort
-        d_table = dense_segment_sum_outer(
+        d_full = dense_segment_sum_outer(
             idx.reshape(-1), w.reshape(-1, 8), g.reshape(-1, F),
             spec.total_entries)
+        if spec.layout == "hybrid":
+            d_raw = split_table_grads(d_full, spec)
+            d_table = jax.tree_util.tree_map(
+                lambda dt, t: dt.astype(t.dtype), d_raw, table)
+            # position grads read the f32-derived rows (master precision)
+            flat_fn = lambda: derived_gather_table(       # noqa: E731
+                table, spec, jnp.float32)
+        else:
+            d_table = d_full.astype(table.dtype)
+            flat_fn = lambda: table                       # noqa: E731
         feats_fn = lambda: jnp.take(                      # noqa: E731
-            table, idx.reshape(-1), axis=0).reshape(n, L, 8, F)
+            flat_fn(), idx.reshape(-1), axis=0).reshape(n, L, 8, F)
     else:
         # update (n, l, c) = g[n, l] * w[n, l, c]
         upd = (gl * w[..., None]).reshape(-1, F)          # [N*L*8, F]
         d_table = dense_segment_sum(idx.reshape(-1), upd,
-                                    spec.total_entries)
+                                    spec.total_entries).astype(table.dtype)
         feats_fn = lambda: jnp.take(                      # noqa: E731
             table, idx, axis=0).reshape(n, L, 8, F)
-    d_table = d_table.astype(table.dtype)
 
     # input gradient: d out / d frac via per-axis product rule; frac = x*res
     feats = feats_fn()

@@ -78,4 +78,4 @@ def test_parity_config_restores_reference_numerics():
     assert cfg.decoder.mlp_dtype == "float32"
     # and the shipped default is the fast path
     from naruto_tpu.config import make_config
-    assert make_config("Replica", "office0").grid.layout == "cell"
+    assert make_config("Replica", "office0").grid.layout == "hybrid"

@@ -61,9 +61,10 @@ def test_sharded_grad_matches_single_device(setup):
     loss_ref, grads_ref = jax.value_and_grad(loss_fn)(params)
     np.testing.assert_allclose(float(loss_sh), float(loss_ref), rtol=1e-5)
     for k in ("table", "uncert_grid"):
-        np.testing.assert_allclose(np.asarray(grads_sh[k]),
-                                   np.asarray(grads_ref[k]),
-                                   rtol=1e-4, atol=1e-7)
+        for a, b in zip(jax.tree_util.tree_leaves(grads_sh[k]),
+                        jax.tree_util.tree_leaves(grads_ref[k])):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       rtol=1e-4, atol=1e-7)
 
 
 def test_sharded_volume_query(setup):
@@ -135,9 +136,10 @@ def test_production_ba_grads_sharded_vs_single():
     # global cumsum and 8 per-shard cumsums; everything else is plain
     # data-parallel reduction reassociation.
     for k in ("table", "uncert_grid"):
-        np.testing.assert_allclose(np.asarray(g_sh[k]),
-                                   np.asarray(g_ref[k]),
-                                   rtol=1e-3, atol=2e-5)
+        for a, b in zip(jax.tree_util.tree_leaves(g_sh[k]),
+                        jax.tree_util.tree_leaves(g_ref[k])):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       rtol=1e-3, atol=2e-5)
     for a, b in zip(jax.tree_util.tree_leaves(g_sh["sdf_mlp"]),
                     jax.tree_util.tree_leaves(g_ref["sdf_mlp"])):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),

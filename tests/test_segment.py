@@ -246,3 +246,79 @@ class TestPallasOuterCumsum:
         scale = float(np.abs(np.asarray(out_xla)).max())
         np.testing.assert_allclose(np.asarray(out_pl) / scale,
                                    np.asarray(out_xla) / scale, atol=1e-3)
+
+
+class TestHybridLayout:
+    """Hybrid layout: dense levels are TRUE shared-vertex grids (wide cell
+    rows derived by static slices), hashed levels stay cell-keyed."""
+
+    def _spec(self, **kw):
+        from naruto_tpu.ops.encoding import HashGridSpec
+        d = dict(n_levels=3, log2_table_size=10, base_resolution=4,
+                 finest_resolution=16, layout="hybrid")
+        d.update(kw)
+        return HashGridSpec(**d)
+
+    def test_dense_levels_match_vertex_layout_exactly(self, rng):
+        """On a dense level the hybrid encode equals the vertex-layout
+        (exact tcnn) encode with the same vertex values."""
+        from naruto_tpu.ops.encoding import HashGridSpec
+        res = 4
+        spec_h = self._spec(n_levels=1, finest_resolution=res,
+                            log2_table_size=12)
+        spec_v = HashGridSpec(n_levels=1, base_resolution=res,
+                              finest_resolution=res, log2_table_size=12,
+                              layout="vertex")
+        grid = jnp.asarray(rng.normal(size=(res + 1, res + 1, res + 1, 2))
+                           .astype(np.float32))
+        table_h = {"hash": jnp.zeros((0, 16), jnp.float32), "dense": [grid]}
+        # vertex table: flat = x + y*(res+1) + z*(res+1)^2 — the z-major
+        # grid flattens to exactly that (x fastest)
+        table_v = grid.reshape(-1, 2)
+        x = jnp.asarray(rng.uniform(0.02, 0.98, (64, 3)).astype(np.float32))
+        out_h = hash_encode(table_h, x, spec_h)
+        out_v = hash_encode(table_v, x, spec_v)
+        np.testing.assert_allclose(np.asarray(out_h), np.asarray(out_v),
+                                   rtol=1e-5, atol=1e-6)
+
+    def test_grads_match_autodiff_of_derived_table(self, rng):
+        from naruto_tpu.ops.encoding import (_cell_indices,
+                                             derived_gather_table)
+        spec = self._spec()
+        table = init_hash_table(jax.random.PRNGKey(0), spec)
+        x = jnp.asarray(rng.uniform(0.05, 0.95, (50, 3)).astype(np.float32))
+        g = jnp.asarray(rng.normal(size=(50, spec.output_dim))
+                        .astype(np.float32))
+
+        def ref_encode(t):
+            gt = derived_gather_table(t, spec, jnp.float32)
+            idx, w = _cell_indices(x, spec)
+            feats = jnp.take(gt, idx.reshape(-1), axis=0).reshape(
+                50, spec.n_levels, 8, spec.n_features)
+            return jnp.sum(feats * w[..., None], axis=2).reshape(
+                50, spec.output_dim)
+
+        np.testing.assert_allclose(
+            np.asarray(hash_encode(table, x, spec)),
+            np.asarray(ref_encode(table)), rtol=1e-5, atol=1e-7)
+        _, ref_vjp = jax.vjp(ref_encode, table)
+        (ref_g,) = ref_vjp(g)
+        _, vjp = jax.vjp(lambda t: hash_encode(t, x, spec), table)
+        (gt,) = vjp(g)
+        for a, b in zip(jax.tree_util.tree_leaves(gt),
+                        jax.tree_util.tree_leaves(ref_g)):
+            s = float(np.abs(np.asarray(b)).max()) + 1e-12
+            np.testing.assert_allclose(np.asarray(a) / s,
+                                       np.asarray(b) / s, atol=6e-3)
+
+    def test_field_continuous_across_dense_cell_faces(self):
+        spec = self._spec(n_levels=1, finest_resolution=4,
+                          log2_table_size=12)
+        table = jax.tree_util.tree_map(
+            lambda a: a * 1e4, init_hash_table(jax.random.PRNGKey(1), spec))
+        eps = 1e-6
+        xa = jnp.asarray([[0.25 - eps, 0.4, 0.6]])
+        xb = jnp.asarray([[0.25 + eps, 0.4, 0.6]])
+        d = float(jnp.abs(hash_encode(table, xa, spec)
+                          - hash_encode(table, xb, spec)).max())
+        assert d < 1e-3  # the cell layout jumps O(1) here
