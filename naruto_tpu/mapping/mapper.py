@@ -57,12 +57,9 @@ from naruto_tpu.utils.printer import InfoPrinter
 # (compiles dominate cost on this backend), small steady-state waste
 CUR_BUCKETS = (512, 2048, 8192)
 
-MAP_PARAM_KEYS = ("table", "sdf_mlp", "color_mlp")
-
-
 class MapperState(NamedTuple):
     params: Dict
-    map_opt_state: optax.OptState
+    map_opt_state: Dict      # {'embed': EmbedAdamState, 'decoder': optax}
     uncert_opt_state: optax.OptState
     uncert_accum: jnp.ndarray
     kf: KeyframeDB
@@ -70,33 +67,64 @@ class MapperState(NamedTuple):
     uncert_vol: jnp.ndarray     # cached [X, Y, Z] for active-ray sampling
 
 
-def _map_params(params):
-    return {k: params[k] for k in MAP_PARAM_KEYS}
+DECODER_KEYS = ("sdf_mlp", "color_mlp")
+
+EMBED_B1, EMBED_B2, EMBED_EPS = 0.9, 0.99, 1e-15
 
 
-def _make_map_optimizer(cfg: MainConfig):
-    """Two param groups — ref create_optimizer (coslam.py:409-419):
-    decoder: Adam(lr_decoder, wd=1e-6); embeddings: Adam(lr_embed, eps=1e-15);
-    betas (0.9, 0.99)."""
-    decoder_tx = optax.chain(
+class EmbedAdamState(NamedTuple):
+    """Adam state for the hash-table ("embeddings") parameter group —
+    hand-rolled so the ~13M-param table update can run as ONE fused Pallas
+    HBM pass on TPU (ops/pallas_kernels.fused_adam) instead of optax's
+    multi-sweep chain. Math matches Adam(lr_embed, betas=(0.9, 0.99),
+    eps=1e-15) — ref create_optimizer, coslam.py:413-417."""
+    count: jnp.ndarray
+    mu: Dict
+    nu: Dict
+
+
+def _make_decoder_optimizer(cfg: MainConfig):
+    """Decoder group — ref create_optimizer (coslam.py:409-412):
+    Adam(lr_decoder, wd=1e-6), betas (0.9, 0.99)."""
+    return optax.chain(
         optax.add_decayed_weights(1e-6),
         optax.scale_by_adam(b1=0.9, b2=0.99, eps=1e-8),
         optax.scale(-cfg.mapper.lr_decoder),
     )
-    embed_tx = optax.chain(
-        optax.scale_by_adam(b1=0.9, b2=0.99, eps=1e-15),
-        optax.scale(-cfg.mapper.lr_embed),
-    )
-    def label_fn(params):
-        return {
-            # hybrid layout: the table param is a {hash, dense} pytree
-            "table": jax.tree_util.tree_map(lambda _: "embed",
-                                            params["table"]),
-            "sdf_mlp": ["decoder"] * len(params["sdf_mlp"]),
-            "color_mlp": ["decoder"] * len(params["color_mlp"]),
-        }
-    return optax.multi_transform(
-        {"embed": embed_tx, "decoder": decoder_tx}, label_fn)
+
+
+def _init_embed_state(table) -> EmbedAdamState:
+    zeros = jax.tree_util.tree_map(jnp.zeros_like, table)
+    return EmbedAdamState(
+        count=jnp.zeros((), jnp.int32), mu=zeros,
+        nu=jax.tree_util.tree_map(jnp.zeros_like, table))
+
+
+def _embed_adam_update(table, grads, st: EmbedAdamState, lr: float):
+    """One Adam step on the table pytree; Pallas-fused per leaf on TPU."""
+    from naruto_tpu.ops.pallas_kernels import (fused_adam,
+                                               outer_cumsum_supported)
+
+    count = st.count + 1
+    t = count.astype(jnp.float32)
+    bc = jnp.stack([1.0 / (1.0 - EMBED_B1 ** t),
+                    1.0 / (1.0 - EMBED_B2 ** t)]).reshape(2, 1)
+    use_pallas = outer_cumsum_supported()
+
+    def leaf(p, m, v, g):
+        if use_pallas:
+            return fused_adam(p, m, v, g, bc, lr=lr, b1=EMBED_B1,
+                              b2=EMBED_B2, eps=EMBED_EPS)
+        m2 = EMBED_B1 * m + (1.0 - EMBED_B1) * g
+        v2 = EMBED_B2 * v + (1.0 - EMBED_B2) * g * g
+        upd = (m2 * bc[0, 0]) / (jnp.sqrt(v2 * bc[1, 0]) + EMBED_EPS)
+        return p - lr * upd, m2, v2
+
+    out = jax.tree_util.tree_map(leaf, table, st.mu, st.nu, grads)
+    is_t = lambda x: isinstance(x, tuple)          # noqa: E731
+    pick = lambda i: jax.tree_util.tree_map(       # noqa: E731
+        lambda tup: tup[i], out, is_leaf=is_t)
+    return pick(0), EmbedAdamState(count=count, mu=pick(1), nu=pick(2))
 
 
 def _make_uncert_optimizer(cfg: MainConfig):
@@ -176,7 +204,7 @@ class Mapper:
             (grid - m.bound_np[:, 0])
             / (m.bound_np[:, 1] - m.bound_np[:, 0]))
 
-        self.map_tx = _make_map_optimizer(cfg)
+        self.decoder_tx = _make_decoder_optimizer(cfg)
         self.uncert_tx = _make_uncert_optimizer(cfg)
         self.track_enabled = m.tracking_enable
         # pose optimizer (axis-angle lr_rot / translation lr_trans) — ref
@@ -192,7 +220,11 @@ class Mapper:
         params = init_field_params(k_init, self.spec)
         self.state = MapperState(
             params=params,
-            map_opt_state=self.map_tx.init(_map_params(params)),
+            map_opt_state={
+                "embed": _init_embed_state(params["table"]),
+                "decoder": self.decoder_tx.init(
+                    {k: params[k] for k in DECODER_KEYS}),
+            },
             uncert_opt_state=self.uncert_tx.init(
                 params.get("uncert_grid", jnp.zeros(()))),
             uncert_accum=jnp.zeros_like(
@@ -327,13 +359,16 @@ class Mapper:
           z_noise)
 
     def _apply_map_update(self, state: MapperState, grads):
-        mp = _map_params(state.params)
-        updates, new_opt = self.map_tx.update(_map_params(grads),
-                                              state.map_opt_state, mp)
-        new_mp = optax.apply_updates(mp, updates)
         params = dict(state.params)
-        params.update(new_mp)
-        return state._replace(params=params, map_opt_state=new_opt)
+        opt = dict(state.map_opt_state)
+        dec_p = {k: params[k] for k in DECODER_KEYS}
+        updates, opt["decoder"] = self.decoder_tx.update(
+            {k: grads[k] for k in DECODER_KEYS}, opt["decoder"], dec_p)
+        params.update(optax.apply_updates(dec_p, updates))
+        params["table"], opt["embed"] = _embed_adam_update(
+            params["table"], grads["table"], opt["embed"],
+            self.cfg.mapper.lr_embed)
+        return state._replace(params=params, map_opt_state=opt)
 
     def _apply_uncert_update(self, state: MapperState):
         if not self.spec.uncert_grid:
