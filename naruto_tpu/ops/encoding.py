@@ -63,6 +63,13 @@ class HashGridSpec:
     #             fine levels keep independent per-cell corner copies
     #             (collisions make the cell->vertex map non-invertible).
     layout: str = "vertex"
+    # hybrid only: allow a level to stay DENSE (collision-free, shared
+    # vertices) when res^3 <= table_size * this slack. With the L4F8
+    # default on Replica-size scenes, level 1 (41^3 = 68,921 cells) misses
+    # the 2^16 cap by 5% and would otherwise hash with per-cell copies —
+    # the slack trades +1.7% total parameters for exact shared-vertex
+    # semantics on every level coarser than ~10 cm.
+    hybrid_dense_slack: float = 1.25
 
     @property
     def table_size(self) -> int:
@@ -95,14 +102,18 @@ class HashGridSpec:
         """Rows per level: dense count when it fits, else hash table.
         vertex layout: (res+1)^3 vertices; cell/hybrid: res^3 cells."""
         sizes = []
-        for res in self.resolutions:
+        for res, d in zip(self.resolutions, self.dense_mask):
             dense = res ** 3 if self.cell_rows else (res + 1) ** 3
-            sizes.append(min(dense, self.table_size))
+            sizes.append(dense if d else self.table_size)
         return tuple(sizes)
 
     @functools.cached_property
     def dense_mask(self) -> Tuple[bool, ...]:
-        """Per level: dense-indexed (no hash) under the current layout."""
+        """Per level: dense-indexed (no hash) under the current layout.
+        hybrid admits hybrid_dense_slack x table_size dense cells."""
+        if self.layout == "hybrid":
+            cap = int(self.table_size * self.hybrid_dense_slack)
+            return tuple(r ** 3 <= cap for r in self.resolutions)
         if self.cell_rows:
             return tuple(r ** 3 <= self.table_size for r in self.resolutions)
         return tuple((r + 1) ** 3 <= self.table_size
@@ -168,14 +179,34 @@ def init_hash_table(key, spec: HashGridSpec, dtype=jnp.float32):
     return {"hash": hash_rows, "dense": dense_grids}
 
 
+@functools.lru_cache(maxsize=8)
+def _patch_kernel(n_features: int) -> np.ndarray:
+    """One-hot 2x2x2 'conv' kernel extracting the 8 corner features of
+    every cell: k[cz, cy, cx, f, c*F + f] = 1 (c = cx*4 + cy*2 + cz)."""
+    F = n_features
+    k = np.zeros((2, 2, 2, F, 8 * F), np.float32)
+    for c, (cx, cy, cz) in enumerate(_CORNERS):
+        for f in range(F):
+            k[cz, cy, cx, f, c * F + f] = 1.0
+    return k
+
+
 def derived_cell_rows(grid: jnp.ndarray, res: int, dtype) -> jnp.ndarray:
     """Vertex grid [(R+1)^3-shaped z-major, F] -> derived cell rows
-    [R^3, 8F] with corner c = cx*4+cy*2+cz at columns [c*F, (c+1)*F):
-    8 STATIC slices — no gather, exact shared-vertex semantics."""
-    slices = [grid[cz:cz + res, cy:cy + res, cx:cx + res, :]
-              for (cx, cy, cz) in _CORNERS]
-    rows = jnp.concatenate(slices, axis=-1).astype(dtype)
-    return rows.reshape(res ** 3, 8 * grid.shape[-1])
+    [R^3, 8F] with corner c = cx*4+cy*2+cz at columns [c*F, (c+1)*F) —
+    exact shared-vertex semantics, no gather. Expressed as a VALID 2x2x2
+    one-hot convolution (patch extraction): measured ~1.4 ms/iter faster
+    than the 8-slice concat on v5e (narrow 8-lane minor slices relayout
+    poorly), and its autodiff transpose replaces the slice-add scatter in
+    the backward."""
+    F = grid.shape[-1]
+    out = jax.lax.conv_general_dilated(
+        grid[None].astype(jnp.float32), jnp.asarray(_patch_kernel(F)),
+        (1, 1, 1), "VALID",
+        dimension_numbers=("NDHWC", "DHWIO", "NDHWC"),
+        precision=jax.lax.Precision.HIGHEST,
+        preferred_element_type=jnp.float32)
+    return out[0].astype(dtype).reshape(res ** 3, 8 * F)
 
 
 def derived_gather_table(table, spec: HashGridSpec, dtype) -> jnp.ndarray:
@@ -195,32 +226,17 @@ def derived_gather_table(table, spec: HashGridSpec, dtype) -> jnp.ndarray:
     return jnp.concatenate(blocks, axis=0)
 
 
-def split_table_grads(d_full: jnp.ndarray, spec: HashGridSpec):
+def split_table_grads(d_full: jnp.ndarray, spec: HashGridSpec, table):
     """Hybrid layout: split the derived-table cotangent [total, 8F] into
-    {"hash": ..., "dense": [...]} — the dense-level transpose is 8 static
-    padded slice-adds back onto the vertex grid (no scatter)."""
-    f = spec.n_features
-    hash_parts = []
-    dense_parts = []
-    for res, size, off, d in zip(spec.resolutions, spec.level_sizes,
-                                 spec.level_offsets[:-1], spec.dense_mask):
-        block = d_full[off:off + size]
-        if not d:
-            hash_parts.append(block)
-            continue
-        dcell = block.reshape(res, res, res, 8, f)     # z, y, x, corner, f
-        gv = jnp.zeros((res + 1, res + 1, res + 1, f), d_full.dtype)
-        for c, (cx, cy, cz) in enumerate(_CORNERS):
-            gv = jax.lax.dynamic_update_slice(
-                gv,
-                jax.lax.dynamic_slice(
-                    gv, (cz, cy, cx, 0), (res, res, res, f))
-                + dcell[..., c, :],
-                (cz, cy, cx, 0))
-        dense_parts.append(gv)
-    hash_grad = (jnp.concatenate(hash_parts, axis=0) if hash_parts
-                 else jnp.zeros((0, 8 * f), d_full.dtype))
-    return {"hash": hash_grad, "dense": dense_parts}
+    {"hash": ..., "dense": [...]} — the exact linear transpose of
+    derived_gather_table (the dense-level part becomes the patch
+    convolution's transposed conv; no scatter)."""
+    transpose = jax.linear_transpose(
+        lambda t: derived_gather_table(t, spec, jnp.float32),
+        jax.tree_util.tree_map(
+            lambda a: jax.ShapeDtypeStruct(a.shape, jnp.float32), table))
+    (d_table,) = transpose(d_full.astype(jnp.float32))
+    return d_table
 
 
 _CORNERS = [[cx, cy, cz] for cx in (0, 1) for cy in (0, 1) for cz in (0, 1)]
@@ -254,10 +270,9 @@ def _cell_indices(x: jnp.ndarray, spec: HashGridSpec):
     i0, frac = _cell_pos(x, spec)                          # [N, L, 3]
     res_i = jnp.asarray(spec.resolutions, dtype=jnp.int32)
     offsets = jnp.asarray(spec.level_offsets[:-1], dtype=jnp.int32)
-    sizes = jnp.asarray(spec.level_sizes, dtype=jnp.int32)
-    dense = jnp.asarray(
-        [r ** 3 <= spec.table_size for r in spec.resolutions],
-        dtype=jnp.bool_)
+    # hashed levels are table_size (power of two) so the mod is a mask
+    sizes = jnp.asarray([spec.table_size] * spec.n_levels, dtype=jnp.int32)
+    dense = jnp.asarray(spec.dense_mask, dtype=jnp.bool_)
 
     s = res_i[None, :]
     dense_idx = i0[..., 0] + i0[..., 1] * s + i0[..., 2] * s * s
@@ -280,10 +295,9 @@ def _corner_indices(x: jnp.ndarray, spec: HashGridSpec):
     res = jnp.asarray(spec.resolutions, dtype=jnp.float32)       # [L]
     res_i = jnp.asarray(spec.resolutions, dtype=jnp.int32)       # [L]
     offsets = jnp.asarray(spec.level_offsets[:-1], dtype=jnp.int32)  # [L]
-    sizes = jnp.asarray(spec.level_sizes, dtype=jnp.int32)       # [L]
-    dense = jnp.asarray(
-        [(r + 1) ** 3 <= spec.table_size for r in spec.resolutions],
-        dtype=jnp.bool_)                                          # [L]
+    sizes = jnp.asarray([spec.table_size] * spec.n_levels,
+                        dtype=jnp.int32)                          # [L]
+    dense = jnp.asarray(spec.dense_mask, dtype=jnp.bool_)         # [L]
 
     # position on each level's grid: [N, L, 3]
     pos = x[:, None, :] * res[None, :, None]
@@ -440,7 +454,7 @@ def encode_grads_from_gembed(spec, table, x, idx, w, g):
             idx.reshape(-1), w.reshape(-1, 8), g.reshape(-1, F),
             spec.total_entries)
         if spec.layout == "hybrid":
-            d_raw = split_table_grads(d_full, spec)
+            d_raw = split_table_grads(d_full, spec, table)
             d_table = jax.tree_util.tree_map(
                 lambda dt, t: dt.astype(t.dtype), d_raw, table)
             # position grads read the f32-derived rows (master precision)

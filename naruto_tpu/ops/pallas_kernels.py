@@ -112,7 +112,9 @@ def outer_cumsum_supported() -> bool:
 # optax.scale_by_adam(eps_root=0) + scale(-lr): the reference's embeddings
 # Adam (src/slam/coslam/coslam.py:413-417, lr=0.01, eps=1e-15).
 
-ADAM_BK = 2048     # rows of 128 lanes per grid step (7 x 1 MB VMEM)
+# rows of 128 lanes per grid step; 7 buffers x double-buffering means
+# 14 x BK x 512B of scoped VMEM — 2048 exceeded the 16 MB limit on v5e
+ADAM_BK = 1024
 
 
 def _adam_kernel(lr, b1, b2, eps, bc_ref, g_ref, p_ref, m_ref, v_ref,

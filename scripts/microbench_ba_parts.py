@@ -44,7 +44,10 @@ def bench(name, step, state, reps=10):
 
 def main():
     cfg = make_config("Replica", "office0")
-    cfg = deep_update(cfg, {"grid": {"layout": "cell"}})
+    import os as _os
+    lay = _os.environ.get("NARUTO_MB_LAYOUT")
+    if lay:
+        cfg = deep_update(cfg, {"grid": {"layout": lay}})
     m = cfg.mapper
     spec = FieldSpec(
         bound=tuple(tuple(b) for b in m.bound),
@@ -56,8 +59,10 @@ def main():
     rc = RenderConfig()
     lw = LossWeights()
     params = init_field_params(jax.random.PRNGKey(0), spec)
+    tshapes = [np.shape(x) for x in
+               jax.tree_util.tree_leaves(params['table'])]
     print(f"device={jax.devices()[0]} layout={spec.table_layout} "
-          f"table={params['table'].shape} pts={N_PTS}")
+          f"table={tshapes} pts={N_PTS}")
 
     key = jax.random.PRNGKey(1)
     k1, k2 = jax.random.split(key)
@@ -147,19 +152,26 @@ def main():
     bench("C renderer+losses, stub field", step_stub, (stub_params, key))
     render_mod.field_query = orig_fq
 
-    # D. optimizer update alone (3 groups incl. uncert accum shapes)
-    from naruto_tpu.mapping.mapper import _make_map_optimizer, _map_params
-    tx = _make_map_optimizer(cfg)
-    opt0 = tx.init(_map_params(params))
-    grads = jax.tree_util.tree_map(jnp.ones_like, _map_params(params))
+    # D. optimizer update alone (embed fused-adam + decoder optax)
+    from naruto_tpu.mapping.mapper import (DECODER_KEYS, _embed_adam_update,
+                                           _init_embed_state,
+                                           _make_decoder_optimizer)
+    dec_tx = _make_decoder_optimizer(cfg)
+    opt0 = {"embed": _init_embed_state(params["table"]),
+            "decoder": dec_tx.init({k: params[k] for k in DECODER_KEYS})}
+    grads = jax.tree_util.tree_map(jnp.ones_like, params)
 
     def step_opt(st):
-        p, opt = st
         import optax
-        upd, opt = tx.update(grads, opt, _map_params(p))
-        newp = optax.apply_updates(_map_params(p), upd)
+        p, opt = st
         p = dict(p)
-        p.update(newp)
+        opt = dict(opt)
+        dec_p = {k: p[k] for k in DECODER_KEYS}
+        upd, opt["decoder"] = dec_tx.update(
+            {k: grads[k] for k in DECODER_KEYS}, opt["decoder"], dec_p)
+        p.update(optax.apply_updates(dec_p, upd))
+        p["table"], opt["embed"] = _embed_adam_update(
+            p["table"], grads["table"], opt["embed"], 0.01)
         return p, opt
     bench("D optimizer update (map groups)", step_opt, (params, opt0))
 

@@ -61,13 +61,15 @@ def main() -> None:
     mapper.state = ba(mapper.state, frame_rays, jnp.asarray(c2w), 110,
                       jax.random.PRNGKey(1))
     print("warmup (compile):", round(time.perf_counter() - t0, 1), "s")
-    sink = float(mapper.state.params["table"][0, 0])
+    sink = float(jax.tree_util.tree_leaves(
+        mapper.state.params["table"])[0].ravel()[0])
 
     jax.profiler.start_trace(args.trace_dir)
     for i in range(args.steps):
         mapper.state = ba(mapper.state, frame_rays, jnp.asarray(c2w),
                           110 + i, jax.random.PRNGKey(2 + i))
-        sink += float(mapper.state.params["table"][0, 0])
+        sink += float(jax.tree_util.tree_leaves(
+            mapper.state.params["table"])[0].ravel()[0])
     jax.profiler.stop_trace()
     print("trace written to", args.trace_dir, "sink", sink)
 
