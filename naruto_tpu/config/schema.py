@@ -102,9 +102,6 @@ class DecoderConfig:
     num_layers_color: int = 2
     pred_uncert: bool = False       # uncertainty as extra MLP output channel
     uncert_grid: bool = True        # uncertainty as learnable voxel grid
-    # MLP matmul compute dtype ("bfloat16" fast path with fp32 masters and
-    # fp32 MXU accumulation; "float32" = exact reference math)
-    mlp_dtype: str = "float32"
 
 
 @dataclass

@@ -46,10 +46,9 @@ class FieldSpec:
     log2_hashmap_size: int = 16
     base_resolution: int = 16
     table_dtype: str = "bfloat16"
-    table_layout: str = "vertex"    # "vertex" (exact tcnn) | "cell" (fast)
-    # MLP matmul compute dtype; fp32 master params live in the optimizer.
-    # None/"float32" = exact reference math, "bfloat16" = fast path.
-    mlp_dtype: str = "float32"
+    # "vertex" (exact tcnn) | "cell" (fast) | "hybrid" (fast + shared
+    # vertices on dense levels) — see ops/encoding.HashGridSpec.layout
+    table_layout: str = "vertex"
     voxel_sdf: float = 0.02
     pos_n_bins: int = 16
     geo_feat_dim: int = 15
@@ -107,12 +106,6 @@ class FieldSpec:
                 + [self.hidden_dim_color] * (self.num_layers_color - 1) + [3])
 
 
-def _mlp_dt(spec: FieldSpec):
-    import jax.numpy as _jnp
-
-    return None if spec.mlp_dtype in (None, "float32") else _jnp.bfloat16
-
-
 def init_field_params(key, spec: FieldSpec) -> Params:
     k1, k2, k3 = jax.random.split(key, 3)
     params: Params = {
@@ -146,8 +139,7 @@ def query_geo(params: Params, x01: jnp.ndarray, spec: FieldSpec):
         x01 = jax.lax.stop_gradient(x01)
     h = hash_encode(params["table"], x01, spec.hash_spec)
     p = one_blob_encode(x01, spec.pos_n_bins)
-    out = mlp_apply(params["sdf_mlp"], jnp.concatenate([h, p], axis=-1),
-                    compute_dtype=_mlp_dt(spec))
+    out = mlp_apply(params["sdf_mlp"], jnp.concatenate([h, p], axis=-1))
     sdf = out[:, 0]
     if spec.pred_uncert:
         geo, uncert = out[:, 1:-1], out[:, -1]
@@ -162,8 +154,7 @@ def field_query(params: Params, x01: jnp.ndarray,
                 spec: FieldSpec) -> jnp.ndarray:
     """Full raw query -> [N, 5]: [rgb(3), sdf, uncert]. rgb is pre-sigmoid."""
     sdf, geo, uncert, p = query_geo(params, x01, spec)
-    rgb = mlp_apply(params["color_mlp"], jnp.concatenate([p, geo], axis=-1),
-                    compute_dtype=_mlp_dt(spec))
+    rgb = mlp_apply(params["color_mlp"], jnp.concatenate([p, geo], axis=-1))
     return jnp.concatenate(
         [rgb, sdf[:, None], uncert[:, None]], axis=-1)
 
@@ -182,8 +173,7 @@ def field_query_plus_embed(params: Params, x01: jnp.ndarray,
     h, h_extra = h_all[:n], h_all[n:]
 
     p = one_blob_encode(x01, spec.pos_n_bins)
-    out = mlp_apply(params["sdf_mlp"], jnp.concatenate([h, p], axis=-1),
-                    compute_dtype=_mlp_dt(spec))
+    out = mlp_apply(params["sdf_mlp"], jnp.concatenate([h, p], axis=-1))
     sdf = out[:, 0]
     if spec.pred_uncert:
         geo, uncert = out[:, 1:-1], out[:, -1]
@@ -191,8 +181,7 @@ def field_query_plus_embed(params: Params, x01: jnp.ndarray,
         geo = out[:, 1:]
         uncert = (query_uncert(params, x01, spec) if spec.uncert_grid
                   else jnp.zeros_like(sdf))
-    rgb = mlp_apply(params["color_mlp"], jnp.concatenate([p, geo], axis=-1),
-                    compute_dtype=_mlp_dt(spec))
+    rgb = mlp_apply(params["color_mlp"], jnp.concatenate([p, geo], axis=-1))
     raw = jnp.concatenate([rgb, sdf[:, None], uncert[:, None]], axis=-1)
     return raw, h_extra
 

@@ -160,7 +160,6 @@ class Mapper:
             base_resolution=cfg.grid.base_resolution,
             table_dtype=cfg.grid.table_dtype,
             table_layout=cfg.grid.layout,
-            mlp_dtype=cfg.decoder.mlp_dtype,
             voxel_sdf=cfg.grid.voxel_sdf,
             pos_n_bins=cfg.grid.pos_n_bins,
             geo_feat_dim=cfg.decoder.geo_feat_dim,

@@ -75,7 +75,6 @@ def test_parity_config_restores_reference_numerics():
     assert cfg.grid.n_levels == 16
     assert cfg.grid.n_features_per_level == 2
     assert cfg.grid.table_dtype == "float32"
-    assert cfg.decoder.mlp_dtype == "float32"
     # and the shipped default is the fast path
     from naruto_tpu.config import make_config
     assert make_config("Replica", "office0").grid.layout == "hybrid"
