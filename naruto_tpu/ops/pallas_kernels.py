@@ -34,21 +34,25 @@ def _outer_cumsum_kernel(ka: int, kb: int, block: int,
     def _():
         carry_ref[:] = jnp.zeros_like(carry_ref)
 
-    tri = jnp.tril(jnp.ones((SUB, SUB), jnp.float32))
+    tri = jnp.tril(jnp.ones((SUB, SUB), jnp.bfloat16))
 
     def chunk(i, _):
-        sa = sa_ref[pl.ds(i * SUB, SUB), :].astype(jnp.float32)  # [SUB, ka]
-        sb = sb_ref[pl.ds(i * SUB, SUB), :].astype(jnp.float32)  # [SUB, kb]
-        # a-major layout: position c*kb + f holds a_c * b_f
+        sa = sa_ref[pl.ds(i * SUB, SUB), :]                  # [SUB, ka] bf16
+        sb = sb_ref[pl.ds(i * SUB, SUB), :]                  # [SUB, kb] bf16
+        # a-major layout: position c*kb + f holds a_c * b_f. The factors
+        # are already bf16 (the sort packs bf16 pairs); keeping the outer
+        # product and the 0/1 triangular operand in bf16 runs the cumsum
+        # matmul at the MXU's bf16 rate with f32 accumulation — only the
+        # product itself gets one extra bf16 rounding (~0.4% on values
+        # that are bf16-rounded anyway; gradient-noise dominated).
         sa_rep = jnp.concatenate(
             [jnp.broadcast_to(sa[:, c:c + 1], (SUB, kb))
              for c in range(ka)], axis=1)                    # [SUB, ka*kb]
         sb_tile = jnp.concatenate([sb] * ka, axis=1)         # [SUB, ka*kb]
-        outer = sa_rep * sb_tile
+        outer = sa_rep * sb_tile                             # bf16
         cs = jax.lax.dot_general(
             tri, outer, (((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
-            precision=jax.lax.Precision.HIGHEST) + carry_ref[:]
+            preferred_element_type=jnp.float32) + carry_ref[:]
         out_ref[pl.ds(i * SUB, SUB), :] = cs
         carry_ref[:] = cs[SUB - 1:SUB, :]
         return 0

@@ -98,9 +98,10 @@ def dense_segment_sum_outer(indices: jnp.ndarray, a: jnp.ndarray,
         return hi - jnp.concatenate(
             [jnp.zeros((1, hi.shape[1]), hi.dtype), hi[:-1]])
 
-    sa = sa16.astype(jnp.float32)
-    sb = sb16.astype(jnp.float32)
-    sv = (sa[:, :, None] * sb[:, None, :]).reshape(m, ka * kb)
+    # outer product in bf16 (then f32 prefix sums) — matches the Pallas
+    # kernel's bf16 MXU formulation so both branches agree numerically
+    sv = (sa16[:, :, None] * sb16[:, None, :]).astype(jnp.float32) \
+        .reshape(m, ka * kb)
     cs = jnp.concatenate(
         [jnp.zeros((1, ka * kb), jnp.float32), jnp.cumsum(sv, axis=0)],
         axis=0)

@@ -217,8 +217,9 @@ class TestPallasOuterCumsum:
         sa = jnp.asarray(rng.normal(size=(m, 8)), jnp.bfloat16)
         sb = jnp.asarray(rng.normal(size=(m, 4)), jnp.bfloat16)
         got = outer_cumsum(sa, sb, interpret=True)
-        sv = (sa.astype(jnp.float32)[:, :, None]
-              * sb.astype(jnp.float32)[:, None, :]).reshape(m, 32)
+        # the kernel forms the outer product in bf16 (MXU-rate matmul)
+        sv = (sa[:, :, None] * sb[:, None, :]).astype(jnp.float32) \
+            .reshape(m, 32)
         ref = jnp.cumsum(sv, axis=0)
         np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
                                    rtol=1e-5, atol=1e-4)
