@@ -226,17 +226,49 @@ def derived_gather_table(table, spec: HashGridSpec, dtype) -> jnp.ndarray:
     return jnp.concatenate(blocks, axis=0)
 
 
+@functools.lru_cache(maxsize=8)
+def _patch_kernel_t(n_features: int) -> np.ndarray:
+    """Spatially-flipped, io-transposed patch kernel — the explicit linear
+    transpose of derived_cell_rows' convolution (hand-written rather than
+    jax.linear_transpose so it also runs on shard_map-varying cotangents)."""
+    k = _patch_kernel(n_features)
+    return np.ascontiguousarray(
+        np.transpose(k[::-1, ::-1, ::-1], (0, 1, 2, 4, 3)))
+
+
+def _cell_rows_transpose(d_rows: jnp.ndarray, res: int,
+                         n_features: int) -> jnp.ndarray:
+    """Cotangent of derived cell rows [R^3, 8F] -> vertex grid
+    [(R+1)^3, F] via the transposed patch convolution (no scatter)."""
+    F = n_features
+    d_cell = d_rows.astype(jnp.float32).reshape(res, res, res, 8 * F)
+    out = jax.lax.conv_general_dilated(
+        d_cell[None], jnp.asarray(_patch_kernel_t(F)), (1, 1, 1),
+        [(1, 1)] * 3,
+        dimension_numbers=("NDHWC", "DHWIO", "NDHWC"),
+        precision=jax.lax.Precision.HIGHEST,
+        preferred_element_type=jnp.float32)
+    return out[0]
+
+
 def split_table_grads(d_full: jnp.ndarray, spec: HashGridSpec, table):
     """Hybrid layout: split the derived-table cotangent [total, 8F] into
-    {"hash": ..., "dense": [...]} — the exact linear transpose of
-    derived_gather_table (the dense-level part becomes the patch
-    convolution's transposed conv; no scatter)."""
-    transpose = jax.linear_transpose(
-        lambda t: derived_gather_table(t, spec, jnp.float32),
-        jax.tree_util.tree_map(
-            lambda a: jax.ShapeDtypeStruct(a.shape, jnp.float32), table))
-    (d_table,) = transpose(d_full.astype(jnp.float32))
-    return d_table
+    {"hash": ..., "dense": [...]} — the dense-level part is the patch
+    convolution's transposed conv back onto the vertex grids."""
+    del table  # structure is implied by the spec
+    f = spec.n_features
+    hash_parts = []
+    dense_parts = []
+    for res, size, off, d in zip(spec.resolutions, spec.level_sizes,
+                                 spec.level_offsets[:-1], spec.dense_mask):
+        block = d_full[off:off + size]
+        if d:
+            dense_parts.append(_cell_rows_transpose(block, res, f))
+        else:
+            hash_parts.append(block.astype(jnp.float32))
+    hash_grad = (jnp.concatenate(hash_parts, axis=0) if hash_parts
+                 else jnp.zeros((0, 8 * f), jnp.float32))
+    return {"hash": hash_grad, "dense": dense_parts}
 
 
 _CORNERS = [[cx, cy, cz] for cx in (0, 1) for cy in (0, 1) for cz in (0, 1)]
