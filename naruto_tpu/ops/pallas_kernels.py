@@ -34,7 +34,9 @@ def _outer_cumsum_kernel(ka: int, kb: int, block: int,
     def _():
         carry_ref[:] = jnp.zeros_like(carry_ref)
 
-    tri = jnp.tril(jnp.ones((SUB, SUB), jnp.bfloat16))
+    # build the mask in f32 then cast: tril's i1 compare can't relayout
+    # straight to bf16 tiling (Mosaic "invalid relayout" on v5e)
+    tri = jnp.tril(jnp.ones((SUB, SUB), jnp.float32)).astype(jnp.bfloat16)
 
     def chunk(i, _):
         sa = sa_ref[pl.ds(i * SUB, SUB), :]                  # [SUB, ka] bf16
