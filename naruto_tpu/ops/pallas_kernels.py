@@ -23,17 +23,11 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 SUB = 512          # tri-matmul cumsum chunk
-BK = 4096         # rows per grid step
+BK = 8192         # rows per grid step
 
 
 def _outer_cumsum_kernel(ka: int, kb: int, block: int,
-                         sa_ref, sb_ref, out_ref, carry_ref):
-    b = pl.program_id(0)
-
-    @pl.when(b == 0)
-    def _():
-        carry_ref[:] = jnp.zeros_like(carry_ref)
-
+                         sa_ref, sb_ref, offs_ref, out_ref):
     # build the mask in f32 then cast: tril's i1 compare can't relayout
     # straight to bf16 tiling (Mosaic "invalid relayout" on v5e)
     tri = jnp.tril(jnp.ones((SUB, SUB), jnp.float32)).astype(jnp.bfloat16)
@@ -54,9 +48,9 @@ def _outer_cumsum_kernel(ka: int, kb: int, block: int,
         outer = sa_rep * sb_tile                             # bf16
         cs = jax.lax.dot_general(
             tri, outer, (((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32) + carry_ref[:]
+            preferred_element_type=jnp.float32) \
+            + offs_ref[pl.ds(i, 1), :]
         out_ref[pl.ds(i * SUB, SUB), :] = cs
-        carry_ref[:] = cs[SUB - 1:SUB, :]
         return 0
 
     jax.lax.fori_loop(0, block // SUB, chunk, 0, unroll=False)
@@ -69,13 +63,30 @@ def outer_cumsum(sa: jnp.ndarray, sb: jnp.ndarray,
 
     sa: [M, ka] bf16 (sorted payload factors), sb: [M, kb] bf16.
     Returns [M, ka*kb] float32 inclusive cumulative sums. M must be a
-    multiple of 512; rows are processed in 16k blocks with a carried
-    running total, so the result equals jnp.cumsum of the expanded
-    products in f32.
+    multiple of 512.
+
+    Hierarchical scan: the per-SUB-chunk grand totals and their exclusive
+    prefix (the chunk base offsets) are computed OUTSIDE the kernel — a
+    fused XLA multiply+reduce over the bf16 outer products — so the kernel
+    has no cross-chunk carry at all: every grid step is independent and
+    Mosaic pipelines the DMA/compute chain (the previous carried-scratch
+    formulation serialized ~1000 small tri-matmuls end to end and measured
+    no faster than plain XLA cumsum).
     """
     m, ka = sa.shape
     kb = sb.shape[1]
     assert m % SUB == 0, f"M={m} must be a multiple of {SUB}"
+    nch = m // SUB
+    # chunk totals of the bf16-rounded products (identical rounding to the
+    # kernel's in-chunk bf16 outer product — reduce_precision forces the
+    # rounding XLA's excess-precision pass would otherwise elide), f32 accum
+    prod = jax.lax.reduce_precision(
+        sa.astype(jnp.float32).reshape(nch, SUB, ka, 1)
+        * sb.astype(jnp.float32).reshape(nch, SUB, 1, kb),
+        exponent_bits=8, mantissa_bits=7)
+    totals = prod.sum(axis=1).reshape(nch, ka * kb)          # [nch, ka*kb]
+    offs = jnp.cumsum(totals, axis=0) - totals               # exclusive
+
     block = min(BK, m)
     grid = -(-m // block)
 
@@ -88,13 +99,14 @@ def outer_cumsum(sa: jnp.ndarray, sb: jnp.ndarray,
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((block, kb), lambda b: (b, 0),
                          memory_space=pltpu.VMEM),
+            pl.BlockSpec((block // SUB, ka * kb), lambda b: (b, 0),
+                         memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec((block, ka * kb), lambda b: (b, 0),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((m, ka * kb), jnp.float32),
-        scratch_shapes=[pltpu.VMEM((1, ka * kb), jnp.float32)],
         interpret=interpret,
-    )(sa, sb)
+    )(sa, sb, offs)
 
 
 def outer_cumsum_supported() -> bool:

@@ -184,6 +184,126 @@ def main():
         return key, acc + jnp.sum(z[:1])
     bench("E z sampling (incl. 43-wide sort)", step_z, (key, jnp.zeros(())))
 
+    # F. field-backward sub-stages (cell/hybrid layouts), chained fresh
+    # inputs — the per-primitive floor table for the ceiling analysis
+    gspec = spec.hash_spec
+    if gspec.cell_rows:
+        L = gspec.n_levels
+        M = N_PTS * L
+        Mp = -(-M // 512) * 512
+        size = gspec.total_entries
+        total_rows = sum(np.prod(s[:-1]) if len(s) > 1 else s[0]
+                         for s in tshapes)
+        print(f"   [F sizes: M={M} (pad {Mp}) slots={size} "
+              f"table_rows={int(total_rows)}]")
+
+        def mk(key, shape, dt=jnp.float32):
+            return jax.random.uniform(key, shape, dtype=jnp.float32) \
+                .astype(dt)
+
+        idx0 = jax.random.randint(k1, (M,), 0, size, dtype=jnp.int32)
+        wa0 = mk(k1, (M, 8), jnp.bfloat16)
+        gb0 = mk(k2, (M, gspec.n_features), jnp.bfloat16)
+
+        # F1 variadic sort (key + 8 packed payload columns, the real widths)
+        a_pack = wa0.reshape(M, 4, 2).view(jnp.int32)[..., 0]
+        b_pack = gb0.reshape(M, gspec.n_features // 2, 2) \
+            .view(jnp.int32)[..., 0]
+
+        def step_sort(st):
+            idx, acc = st
+            ops = (idx,) + tuple(a_pack[:, j] for j in range(4)) + tuple(
+                b_pack[:, j] for j in range(b_pack.shape[1]))
+            so = jax.lax.sort(ops, num_keys=1)
+            return (so[0] + 1) % size, acc + so[1][0]
+        bench("F1 variadic sort (key + 8 payload cols)", step_sort,
+              (idx0, jnp.zeros((), jnp.int32)))
+
+        # F2 merge-rank boundary positions
+        from naruto_tpu.ops.segment import _merge_ranks
+        sidx0 = jnp.sort(idx0)
+
+        def step_rank(st):
+            sidx, acc = st
+            ub = _merge_ranks(sidx, size)
+            return (sidx + 1) % size, acc + ub[0]
+        bench("F2 merge-rank (double argsort)", step_rank,
+              (sidx0, jnp.zeros((), jnp.int32)))
+
+        # F3 outer_cumsum Pallas kernel alone
+        from naruto_tpu.ops.pallas_kernels import (outer_cumsum,
+                                                   outer_cumsum_supported)
+        sa0 = mk(k1, (Mp, 8), jnp.bfloat16)
+        sb0 = mk(k2, (Mp, gspec.n_features), jnp.bfloat16)
+        if outer_cumsum_supported():
+            def step_oc(st):
+                sa, acc = st
+                cs = outer_cumsum(sa, sb0)
+                return sa + jnp.bfloat16(1e-3), acc + cs[-1, 0]
+            bench("F3 outer_cumsum Pallas (expand+scan)", step_oc,
+                  (sa0, jnp.zeros(())))
+
+        # F3b XLA expand+cumsum for comparison
+        def step_ocx(st):
+            sa, acc = st
+            sv = (sa[:, :, None] * sb0[:, None, :]).astype(jnp.float32) \
+                .reshape(Mp, -1)
+            cs = jnp.cumsum(sv, axis=0)
+            return sa + jnp.bfloat16(1e-3), acc + cs[-1, 0]
+        bench("F3b XLA expand+cumsum", step_ocx, (sa0, jnp.zeros(())))
+
+        # F4 boundary gather + adjacent diff
+        cs0 = mk(k1, (Mp, 8 * gspec.n_features))
+        ub0 = jnp.sort(jax.random.randint(k2, (size,), 0, M,
+                                          dtype=jnp.int32))
+
+        def step_bnd(st):
+            ub, acc = st
+            hi = jnp.where((ub > 0)[:, None],
+                           cs0[jnp.maximum(ub - 1, 0)], 0.0)
+            out = hi - jnp.concatenate(
+                [jnp.zeros((1, hi.shape[1])), hi[:-1]])
+            return (ub + 1) % M, acc + out[0, 0]
+        bench("F4 boundary gather + diff", step_bnd,
+              (ub0, jnp.zeros(())))
+
+        # F5 derived gather-table build (hybrid only)
+        if gspec.layout == "hybrid":
+            from naruto_tpu.ops.encoding import derived_gather_table
+
+            def step_drv(st):
+                p, acc = st
+                gt = derived_gather_table(p, gspec, jnp.bfloat16)
+                p = jax.tree_util.tree_map(lambda a: a * 0.9999, p)
+                return p, acc + gt[0, 0].astype(jnp.float32)
+            bench("F5 derived gather-table build", step_drv,
+                  (params["table"], jnp.zeros(())))
+
+        # F6 raw row gather at forward width
+        flat0 = mk(k1, (size, 8 * gspec.n_features), jnp.bfloat16)
+        gidx0 = jax.random.randint(k2, (N_PTS * L,), 0, size,
+                                   dtype=jnp.int32)
+
+        def step_gather(st):
+            gi, acc = st
+            rows = jnp.take(flat0, gi, axis=0)
+            return (gi + 1) % size, acc + rows[0, 0].astype(jnp.float32)
+        bench("F6 fwd row gather (M rows x 8F bf16)", step_gather,
+              (gidx0, jnp.zeros(())))
+
+        # F7 fused-adam table update alone
+        from naruto_tpu.mapping.mapper import (_embed_adam_update,
+                                               _init_embed_state)
+        est0 = _init_embed_state(params["table"])
+        g_tab = jax.tree_util.tree_map(jnp.ones_like, params["table"])
+
+        def step_fadam(st):
+            p, est = st
+            p, est = _embed_adam_update(p, g_tab, est, 0.01)
+            return p, est
+        bench("F7 table Adam (fused pass)", step_fadam,
+              (params["table"], est0))
+
 
 if __name__ == "__main__":
     main()
