@@ -10,6 +10,7 @@ reference: pinhole z-depth (invalid = 0), ERP radial distance
 from __future__ import annotations
 
 import ctypes
+import os
 from typing import Optional
 
 import numpy as np
@@ -119,6 +120,10 @@ class RaycastSimulator(Simulator):
         self._lib = _load_lib()
         if verts is None:
             path = cfg.sim.scene_path
+            if os.path.isdir(path):
+                # scene dir (mesh.ply + optional traj.txt for passive
+                # replays — pose_loader reads scene_path/traj.txt)
+                path = os.path.join(path, "mesh.ply")
             if path.lower().endswith((".glb", ".gltf")):
                 # MP3D / custom NARUTO scenes ship as glb in the reference
                 # habitat pipeline (habitat_utils.py:182-215)

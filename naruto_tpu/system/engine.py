@@ -185,6 +185,9 @@ class Engine:
         elif cfg.sim.scene_path.endswith(".ply") \
                 and os.path.exists(cfg.sim.scene_path):
             gt_path = cfg.sim.scene_path
+        elif os.path.isfile(os.path.join(cfg.sim.scene_path, "mesh.ply")):
+            # raycast scene dir (mesh.ply [+ traj.txt for passive replays])
+            gt_path = os.path.join(cfg.sim.scene_path, "mesh.ply")
 
         # full metric row — acc/comp/ratio/MAD merged next to traj_length
         # (ref eval_replica.sh pipeline + update_results_file,
