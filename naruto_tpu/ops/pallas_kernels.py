@@ -23,11 +23,12 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 SUB = 512          # tri-matmul cumsum chunk
-BK = 8192         # rows per grid step
+BK = 4096         # rows per grid step (8192 exceeded the 16 MB scoped
+                  # VMEM limit by 272 KB at the 64-col output width)
 
 
 def _outer_cumsum_kernel(ka: int, kb: int, block: int,
-                         sa_ref, sb_ref, offs_ref, out_ref):
+                         sa_ref, sb_ref, offs_ref, ra_ref, rb_ref, out_ref):
     # build the mask in f32 then cast: tril's i1 compare can't relayout
     # straight to bf16 tiling (Mosaic "invalid relayout" on v5e)
     tri = jnp.tril(jnp.ones((SUB, SUB), jnp.float32)).astype(jnp.bfloat16)
@@ -35,16 +36,23 @@ def _outer_cumsum_kernel(ka: int, kb: int, block: int,
     def chunk(i, _):
         sa = sa_ref[pl.ds(i * SUB, SUB), :]                  # [SUB, ka] bf16
         sb = sb_ref[pl.ds(i * SUB, SUB), :]                  # [SUB, kb] bf16
-        # a-major layout: position c*kb + f holds a_c * b_f. The factors
-        # are already bf16 (the sort packs bf16 pairs); keeping the outer
-        # product and the 0/1 triangular operand in bf16 runs the cumsum
-        # matmul at the MXU's bf16 rate with f32 accumulation — only the
-        # product itself gets one extra bf16 rounding (~0.4% on values
-        # that are bf16-rounded anyway; gradient-noise dominated).
-        sa_rep = jnp.concatenate(
-            [jnp.broadcast_to(sa[:, c:c + 1], (SUB, kb))
-             for c in range(ka)], axis=1)                    # [SUB, ka*kb]
-        sb_tile = jnp.concatenate([sb] * ka, axis=1)         # [SUB, ka*kb]
+        # a-major layout: position c*kb + f holds a_c * b_f. The column
+        # expansion runs as two one-hot MXU matmuls (a broadcast+concat
+        # formulation relayouts 8-lane minors on the VPU, ~25 us/chunk);
+        # Mosaic requires f32 matmul accumulators, and the one-hot
+        # operands make the f32->bf16 cast exact (each output is one
+        # bf16 input). The cumsum matmul then runs at the MXU bf16 rate
+        # with f32 accumulation — only the product itself gets one extra
+        # bf16 rounding (~0.4% on values that are bf16-rounded anyway;
+        # gradient-noise dominated).
+        sa_rep = jax.lax.dot_general(
+            sa, ra_ref[:], (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32
+        ).astype(jnp.bfloat16)                               # [SUB, ka*kb]
+        sb_tile = jax.lax.dot_general(
+            sb, rb_ref[:], (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32
+        ).astype(jnp.bfloat16)                               # [SUB, ka*kb]
         outer = sa_rep * sb_tile                             # bf16
         cs = jax.lax.dot_general(
             tri, outer, (((1,), (0,)), ((), ())),
@@ -54,6 +62,20 @@ def _outer_cumsum_kernel(ka: int, kb: int, block: int,
         return 0
 
     jax.lax.fori_loop(0, block // SUB, chunk, 0, unroll=False)
+
+
+@functools.lru_cache(maxsize=8)
+def _expand_mats(ka: int, kb: int):
+    """One-hot expansion operands (numpy — cached jnp would leak tracers):
+    Ra[c, c*kb+f] = 1 repeats each a column kb times; Rb[f, c*kb+f] = 1
+    tiles the b block ka times."""
+    ra = np.zeros((ka, ka * kb), np.float32)
+    rb = np.zeros((kb, ka * kb), np.float32)
+    for c in range(ka):
+        for f in range(kb):
+            ra[c, c * kb + f] = 1.0
+            rb[f, c * kb + f] = 1.0
+    return ra, rb
 
 
 @functools.partial(jax.jit, static_argnames=("interpret",))
@@ -90,6 +112,8 @@ def outer_cumsum(sa: jnp.ndarray, sb: jnp.ndarray,
     block = min(BK, m)
     grid = -(-m // block)
 
+    ra, rb = _expand_mats(ka, kb)
+    fixed = lambda b: (0, 0)                                 # noqa: E731
     kernel = functools.partial(_outer_cumsum_kernel, ka, kb, block)
     return pl.pallas_call(
         kernel,
@@ -101,12 +125,15 @@ def outer_cumsum(sa: jnp.ndarray, sb: jnp.ndarray,
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((block // SUB, ka * kb), lambda b: (b, 0),
                          memory_space=pltpu.VMEM),
+            pl.BlockSpec((ka, ka * kb), fixed, memory_space=pltpu.VMEM),
+            pl.BlockSpec((kb, ka * kb), fixed, memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec((block, ka * kb), lambda b: (b, 0),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((m, ka * kb), jnp.float32),
         interpret=interpret,
-    )(sa, sb, offs)
+    )(sa, sb, offs, jnp.asarray(ra, jnp.bfloat16),
+      jnp.asarray(rb, jnp.bfloat16))
 
 
 def outer_cumsum_supported() -> bool:
