@@ -226,29 +226,22 @@ def derived_gather_table(table, spec: HashGridSpec, dtype) -> jnp.ndarray:
     return jnp.concatenate(blocks, axis=0)
 
 
-@functools.lru_cache(maxsize=8)
-def _patch_kernel_t(n_features: int) -> np.ndarray:
-    """Spatially-flipped, io-transposed patch kernel — the explicit linear
-    transpose of derived_cell_rows' convolution (hand-written rather than
-    jax.linear_transpose so it also runs on shard_map-varying cotangents)."""
-    k = _patch_kernel(n_features)
-    return np.ascontiguousarray(
-        np.transpose(k[::-1, ::-1, ::-1], (0, 1, 2, 4, 3)))
-
-
 def _cell_rows_transpose(d_rows: jnp.ndarray, res: int,
                          n_features: int) -> jnp.ndarray:
     """Cotangent of derived cell rows [R^3, 8F] -> vertex grid
-    [(R+1)^3, F] via the transposed patch convolution (no scatter)."""
+    [(R+1), (R+1), (R+1), F] as 8 shifted in-place adds (no scatter).
+
+    Each corner block c of the cell cotangent is a column slice that adds
+    into the vertex grid at offset (cz, cy, cx) — pure dynamic-update-slice
+    adds. The equivalent transposed conv_general_dilated lowered terribly
+    on v5e (2.8 ms/iter for the 42^3 level vs <0.5 ms for these adds)."""
     F = n_features
-    d_cell = d_rows.astype(jnp.float32).reshape(res, res, res, 8 * F)
-    out = jax.lax.conv_general_dilated(
-        d_cell[None], jnp.asarray(_patch_kernel_t(F)), (1, 1, 1),
-        [(1, 1)] * 3,
-        dimension_numbers=("NDHWC", "DHWIO", "NDHWC"),
-        precision=jax.lax.Precision.HIGHEST,
-        preferred_element_type=jnp.float32)
-    return out[0]
+    out = jnp.zeros((res + 1, res + 1, res + 1, F), jnp.float32)
+    for c, (cx, cy, cz) in enumerate(_CORNERS):
+        blk = d_rows[:, c * F:(c + 1) * F].astype(jnp.float32) \
+            .reshape(res, res, res, F)          # [z, y, x, F] (x fastest)
+        out = out.at[cz:cz + res, cy:cy + res, cx:cx + res].add(blk)
+    return out
 
 
 def split_table_grads(d_full: jnp.ndarray, spec: HashGridSpec, table):
@@ -473,7 +466,7 @@ def encode_grads_from_gembed(spec, table, x, idx, w, g):
     """(d_table, d_x) from the embedding cotangent g [N, L*F] — the shared
     backward core behind hash_encode's VJP."""
     from naruto_tpu.ops.segment import dense_segment_sum, \
-        dense_segment_sum_outer
+        dense_segment_sum_outer_level_major
 
     n = x.shape[0]
     L, F = spec.n_levels, spec.n_features
@@ -481,10 +474,12 @@ def encode_grads_from_gembed(spec, table, x, idx, w, g):
 
     if spec.cell_rows:
         # row update = outer(corner weights, level grad) — the sort carries
-        # the two rank-1 factors, the 8F-wide expansion happens post-sort
-        d_full = dense_segment_sum_outer(
-            idx.reshape(-1), w.reshape(-1, 8), g.reshape(-1, F),
-            spec.total_entries)
+        # the two rank-1 factors, the 8F-wide expansion happens post-sort.
+        # Level-major flatten: the point-major [N, L*K] -> [N*L, K]
+        # reshapes of idx/w/g cost ~7 ms/iter of physical relayouts on
+        # v5e; segment sums are row-order invariant.
+        d_full = dense_segment_sum_outer_level_major(
+            idx, w.reshape(n, L, 8), g, spec.total_entries)
         if spec.layout == "hybrid":
             d_raw = split_table_grads(d_full, spec, table)
             d_table = jax.tree_util.tree_map(

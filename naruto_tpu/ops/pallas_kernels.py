@@ -27,7 +27,34 @@ BK = 4096         # rows per grid step (8192 exceeded the 16 MB scoped
                   # VMEM limit by 272 KB at the 64-col output width)
 
 
-def _outer_cumsum_kernel(ka: int, kb: int, block: int,
+def _expand_outer(sa, sb, ra_ref, rb_ref, interpret: bool):
+    """[SUB, ka] x [SUB, kb] bf16 -> [SUB, ka*kb] bf16 outer-product rows.
+
+    a-major layout: position c*kb + f holds a_c * b_f. The column
+    expansion runs as two one-hot MXU matmuls (a broadcast+concat
+    formulation relayouts 8-lane minors on the VPU, ~25 us/chunk);
+    Mosaic requires f32 matmul accumulators, and the one-hot operands
+    make the f32->bf16 cast exact (each output is one bf16 input). The
+    product itself gets one bf16 rounding (~0.4% on values that are
+    bf16-rounded anyway; gradient-noise dominated) — in interpret mode
+    XLA's excess-precision pass would ELIDE the f32->bf16 casts (leaving
+    unrounded f32 products that diverge from both the TPU kernel and the
+    XLA fallback branch), so the rounding is forced with reduce_precision
+    there; a bf16 multiply rounds the exact f32 product identically."""
+    sa_rep = jax.lax.dot_general(
+        sa, ra_ref[:], (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)                  # [SUB, ka*kb]
+    sb_tile = jax.lax.dot_general(
+        sb, rb_ref[:], (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)                  # [SUB, ka*kb]
+    if interpret:
+        return jax.lax.reduce_precision(
+            sa_rep * sb_tile, exponent_bits=8,
+            mantissa_bits=7).astype(jnp.bfloat16)
+    return sa_rep.astype(jnp.bfloat16) * sb_tile.astype(jnp.bfloat16)
+
+
+def _outer_cumsum_kernel(ka: int, kb: int, block: int, interpret: bool,
                          sa_ref, sb_ref, offs_ref, ra_ref, rb_ref, out_ref):
     # build the mask in f32 then cast: tril's i1 compare can't relayout
     # straight to bf16 tiling (Mosaic "invalid relayout" on v5e)
@@ -36,29 +63,29 @@ def _outer_cumsum_kernel(ka: int, kb: int, block: int,
     def chunk(i, _):
         sa = sa_ref[pl.ds(i * SUB, SUB), :]                  # [SUB, ka] bf16
         sb = sb_ref[pl.ds(i * SUB, SUB), :]                  # [SUB, kb] bf16
-        # a-major layout: position c*kb + f holds a_c * b_f. The column
-        # expansion runs as two one-hot MXU matmuls (a broadcast+concat
-        # formulation relayouts 8-lane minors on the VPU, ~25 us/chunk);
-        # Mosaic requires f32 matmul accumulators, and the one-hot
-        # operands make the f32->bf16 cast exact (each output is one
-        # bf16 input). The cumsum matmul then runs at the MXU bf16 rate
-        # with f32 accumulation — only the product itself gets one extra
-        # bf16 rounding (~0.4% on values that are bf16-rounded anyway;
-        # gradient-noise dominated).
-        sa_rep = jax.lax.dot_general(
-            sa, ra_ref[:], (((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32
-        ).astype(jnp.bfloat16)                               # [SUB, ka*kb]
-        sb_tile = jax.lax.dot_general(
-            sb, rb_ref[:], (((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32
-        ).astype(jnp.bfloat16)                               # [SUB, ka*kb]
-        outer = sa_rep * sb_tile                             # bf16
+        # the cumsum matmul runs at the MXU bf16 rate, f32 accumulation
+        outer = _expand_outer(sa, sb, ra_ref, rb_ref, interpret)
         cs = jax.lax.dot_general(
             tri, outer, (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32) \
             + offs_ref[pl.ds(i, 1), :]
         out_ref[pl.ds(i * SUB, SUB), :] = cs
+        return 0
+
+    jax.lax.fori_loop(0, block // SUB, chunk, 0, unroll=False)
+
+
+def _chunk_totals_kernel(ka: int, kb: int, block: int, interpret: bool,
+                         sa_ref, sb_ref, ra_ref, rb_ref, tot_ref):
+    def chunk(i, _):
+        sa = sa_ref[pl.ds(i * SUB, SUB), :]
+        sb = sb_ref[pl.ds(i * SUB, SUB), :]
+        outer = _expand_outer(sa, sb, ra_ref, rb_ref, interpret)
+        # reduce in explicit f32 (a bf16 ones-dot accumulates in bf16 on
+        # the interpret path — carry error vs the main kernel's
+        # f32-accumulating tri matmul)
+        tot_ref[pl.ds(i, 1), :] = jnp.sum(
+            outer.astype(jnp.float32), axis=0, keepdims=True)
         return 0
 
     jax.lax.fori_loop(0, block // SUB, chunk, 0, unroll=False)
@@ -87,34 +114,54 @@ def outer_cumsum(sa: jnp.ndarray, sb: jnp.ndarray,
     Returns [M, ka*kb] float32 inclusive cumulative sums. M must be a
     multiple of 512.
 
-    Hierarchical scan: the per-SUB-chunk grand totals and their exclusive
-    prefix (the chunk base offsets) are computed OUTSIDE the kernel — a
-    fused XLA multiply+reduce over the bf16 outer products — so the kernel
-    has no cross-chunk carry at all: every grid step is independent and
-    Mosaic pipelines the DMA/compute chain (the previous carried-scratch
-    formulation serialized ~1000 small tri-matmuls end to end and measured
-    no faster than plain XLA cumsum).
+    Hierarchical scan: a first small Pallas pass computes per-SUB-chunk
+    grand totals (same bf16 outer rounding as the main pass — carry-exact);
+    XLA takes the tiny [nch, A*B] exclusive cumsum; the main pass adds the
+    precomputed chunk offsets, so it has no cross-chunk carry at all:
+    every grid step is independent and Mosaic pipelines the DMA/compute
+    chain (the previous carried-scratch formulation serialized ~1000 small
+    tri-matmuls end to end and measured no faster than plain XLA cumsum).
     """
     m, ka = sa.shape
     kb = sb.shape[1]
     assert m % SUB == 0, f"M={m} must be a multiple of {SUB}"
     nch = m // SUB
-    # chunk totals of the bf16-rounded products (identical rounding to the
-    # kernel's in-chunk bf16 outer product — reduce_precision forces the
-    # rounding XLA's excess-precision pass would otherwise elide), f32 accum
-    prod = jax.lax.reduce_precision(
-        sa.astype(jnp.float32).reshape(nch, SUB, ka, 1)
-        * sb.astype(jnp.float32).reshape(nch, SUB, 1, kb),
-        exponent_bits=8, mantissa_bits=7)
-    totals = prod.sum(axis=1).reshape(nch, ka * kb)          # [nch, ka*kb]
-    offs = jnp.cumsum(totals, axis=0) - totals               # exclusive
 
     block = min(BK, m)
     grid = -(-m // block)
 
     ra, rb = _expand_mats(ka, kb)
+    ra16 = jnp.asarray(ra, jnp.bfloat16)
+    rb16 = jnp.asarray(rb, jnp.bfloat16)
     fixed = lambda b: (0, 0)                                 # noqa: E731
-    kernel = functools.partial(_outer_cumsum_kernel, ka, kb, block)
+
+    # chunk totals of the bf16-rounded products, computed by a first small
+    # Pallas pass with the IDENTICAL expansion/rounding as the main kernel
+    # (carry-exact). The earlier XLA formulation materialized the [M, A*B]
+    # f32 product (~126 MB at M=493k) just to reduce it, plus a
+    # reduce_precision dance to reproduce the kernel's bf16 rounding.
+    tot_kernel = functools.partial(_chunk_totals_kernel, ka, kb, block,
+                                   interpret)
+    totals = pl.pallas_call(
+        tot_kernel,
+        grid=(grid,),
+        in_specs=[
+            pl.BlockSpec((block, ka), lambda b: (b, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((block, kb), lambda b: (b, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((ka, ka * kb), fixed, memory_space=pltpu.VMEM),
+            pl.BlockSpec((kb, ka * kb), fixed, memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((block // SUB, ka * kb), lambda b: (b, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((nch, ka * kb), jnp.float32),
+        interpret=interpret,
+    )(sa, sb, ra16, rb16)
+    offs = jnp.cumsum(totals, axis=0) - totals               # exclusive
+
+    kernel = functools.partial(_outer_cumsum_kernel, ka, kb, block,
+                               interpret)
     return pl.pallas_call(
         kernel,
         grid=(grid,),
@@ -132,8 +179,7 @@ def outer_cumsum(sa: jnp.ndarray, sb: jnp.ndarray,
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((m, ka * kb), jnp.float32),
         interpret=interpret,
-    )(sa, sb, offs, jnp.asarray(ra, jnp.bfloat16),
-      jnp.asarray(rb, jnp.bfloat16))
+    )(sa, sb, offs, ra16, rb16)
 
 
 def outer_cumsum_supported() -> bool:

@@ -40,6 +40,16 @@ def _merge_ranks(sorted_keys: jnp.ndarray, size: int) -> jnp.ndarray:
     return ub
 
 
+def _check_even(ka: int, kb: int) -> None:
+    if ka % 2 or kb % 2:
+        raise ValueError(
+            f"dense_segment_sum_outer packs bf16 factor PAIRS into int32 "
+            f"sort operands and needs even factor widths; got a:{ka} b:{kb} "
+            f"(e.g. grid.n_features_per_level must be even — use "
+            f"dense_segment_sum on the expanded outer product for odd "
+            f"widths)")
+
+
 def dense_segment_sum_outer(indices: jnp.ndarray, a: jnp.ndarray,
                             b: jnp.ndarray, size: int,
                             use_pallas: bool | None = None) -> jnp.ndarray:
@@ -54,16 +64,59 @@ def dense_segment_sum_outer(indices: jnp.ndarray, a: jnp.ndarray,
     """
     m, ka = a.shape
     kb = b.shape[1]
-    if ka % 2 or kb % 2:
-        raise ValueError(
-            f"dense_segment_sum_outer packs bf16 factor PAIRS into int32 "
-            f"sort operands and needs even factor widths; got a:{ka} b:{kb} "
-            f"(e.g. grid.n_features_per_level must be even — use "
-            f"dense_segment_sum on the expanded outer product for odd "
-            f"widths)")
+    _check_even(ka, kb)
     a16 = a.astype(jnp.bfloat16).reshape(m, ka // 2, 2).view(jnp.int32)[..., 0]
     b16 = b.astype(jnp.bfloat16).reshape(m, kb // 2, 2).view(jnp.int32)[..., 0]
-    ops = (indices.astype(jnp.int32),) + tuple(
+    return _segment_sum_outer_packed(indices.astype(jnp.int32), a16, b16,
+                                     ka, kb, size, use_pallas)
+
+
+def _pack_pairs_level_major(x2d: jnp.ndarray, n_levels: int,
+                            width: int) -> jnp.ndarray:
+    """[N, L*width] float -> [L*N, width//2] int32 of packed bf16 pairs,
+    level-major rows. Built exclusively from within-row reshapes, column
+    slices, and an axis-0 concat — no [N, L*K] -> [N*L, K] row-splitting
+    reshape (which costs a multi-ms physical relayout on v5e at M~500k;
+    the segment sum is row-order invariant so level-major is free)."""
+    n = x2d.shape[0]
+    p = x2d.astype(jnp.bfloat16) \
+        .reshape(n, n_levels * width // 2, 2).view(jnp.int32)[..., 0]
+    cols = width // 2
+    return jnp.concatenate(
+        [p[:, lv * cols:(lv + 1) * cols] for lv in range(n_levels)], axis=0)
+
+
+def dense_segment_sum_outer_level_major(
+        idx_nl: jnp.ndarray, a_nl: jnp.ndarray, b_nl: jnp.ndarray,
+        size: int, use_pallas: bool | None = None) -> jnp.ndarray:
+    """dense_segment_sum_outer for per-level batched updates, flattened
+    LEVEL-major instead of point-major.
+
+    idx_nl: [N, L] int32 slot ids; a_nl: [N, L, A]; b_nl: [N, L*B].
+    Equivalent to dense_segment_sum_outer(idx_nl.reshape(-1), ...) up to
+    within-slot summation order, but avoids the row-splitting
+    [N, L*K] -> [N*L, K] relayouts (~7 ms/iter measured in the BA step's
+    hash-grid backward at M=493k on v5e — see PERFORMANCE.md round 3)."""
+    n, L = idx_nl.shape
+    ka = a_nl.shape[-1]
+    kb = b_nl.shape[-1] // L
+    _check_even(ka, kb)
+    key = jnp.concatenate(
+        [idx_nl[:, lv] for lv in range(L)]).astype(jnp.int32)
+    a16 = _pack_pairs_level_major(a_nl.reshape(n, L * ka), L, ka)
+    b16 = _pack_pairs_level_major(b_nl, L, kb)
+    return _segment_sum_outer_packed(key, a16, b16, ka, kb, size,
+                                     use_pallas)
+
+
+def _segment_sum_outer_packed(key: jnp.ndarray, a16: jnp.ndarray,
+                              b16: jnp.ndarray, ka: int, kb: int,
+                              size: int,
+                              use_pallas: bool | None) -> jnp.ndarray:
+    """Shared post-pack pipeline: variadic sort on packed bf16-pair
+    columns, merge-rank boundaries, expand+cumsum, boundary diffs."""
+    m = key.shape[0]
+    ops = (key,) + tuple(
         a16[:, j] for j in range(ka // 2)) + tuple(
         b16[:, j] for j in range(kb // 2))
     sorted_ops = jax.lax.sort(ops, num_keys=1)

@@ -54,6 +54,25 @@ class TestSegmentSum:
         np.testing.assert_allclose(np.asarray(out) / scale, ref / scale,
                                    atol=5e-3)
 
+    def test_outer_level_major_matches_point_major(self, rng):
+        """Level-major flatten (relayout-free BA path) computes the same
+        per-slot sums as the point-major flatten, for both branches."""
+        from naruto_tpu.ops.segment import \
+            dense_segment_sum_outer_level_major
+        size, n, L, F = 96, 700, 4, 8
+        idx = jnp.asarray(rng.integers(0, size, (n, L)), dtype=jnp.int32)
+        w = jnp.asarray(rng.normal(size=(n, L, 8)).astype(np.float32))
+        g = jnp.asarray(rng.normal(size=(n, L * F)).astype(np.float32))
+        ref = dense_segment_sum_outer(
+            idx.reshape(-1), w.reshape(-1, 8),
+            g.reshape(n, L, F).reshape(-1, F), size)
+        for use_pallas in (False, True):
+            out = dense_segment_sum_outer_level_major(
+                idx, w, g, size, use_pallas=use_pallas)
+            scale = float(np.abs(np.asarray(ref)).max())
+            np.testing.assert_allclose(np.asarray(out) / scale,
+                                       np.asarray(ref) / scale, atol=2e-3)
+
 
 class TestHashEncodeVJP:
     def test_table_grad_matches_autodiff_reference(self, rng):
