@@ -54,6 +54,25 @@ class TestSegmentSum:
         np.testing.assert_allclose(np.asarray(out) / scale, ref / scale,
                                    atol=5e-3)
 
+    def test_chunk_ranks_matches_merge_ranks(self, rng):
+        """The hierarchical chunk-summary searchsorted is bit-exact vs the
+        double-argsort merge-rank on every boundary shape (replaces two
+        argsorts over m + size elements in the hot backward)."""
+        from naruto_tpu.ops.segment import _chunk_ranks, _merge_ranks
+        cases = [(5000, 100), (3000, 204089), (512, 512), (1, 10),
+                 (93568, 89760)]
+        for m, size in cases:
+            keys = jnp.asarray(np.sort(rng.integers(0, size, m))
+                               .astype(np.int32))
+            np.testing.assert_array_equal(
+                np.asarray(_chunk_ranks(keys, size)),
+                np.asarray(_merge_ranks(keys, size)), err_msg=f"{m},{size}")
+        # degenerate runs: all-equal keys, narrow occupied band
+        keys = jnp.full((2048,), 7, jnp.int32)
+        np.testing.assert_array_equal(
+            np.asarray(_chunk_ranks(keys, 20)),
+            np.asarray(_merge_ranks(keys, 20)))
+
     def test_outer_level_major_matches_point_major(self, rng):
         """Level-major flatten (relayout-free BA path) computes the same
         per-slot sums as the point-major flatten, for both branches."""
