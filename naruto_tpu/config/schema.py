@@ -323,6 +323,10 @@ def deep_update(cfg: Any, overrides: Dict[str, Any]) -> Any:
         cur = getattr(cfg, key)
         if dataclasses.is_dataclass(cur) and isinstance(val, dict):
             updates[key] = deep_update(cur, val)
+        elif dataclasses.is_dataclass(cur) and val is None:
+            # an empty YAML section (`decoder:`) parses to None — treat it
+            # as "no overrides", never as replacing the whole subtree
+            continue
         else:
             updates[key] = val
     return dataclasses.replace(cfg, **updates)

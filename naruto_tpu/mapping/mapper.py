@@ -893,6 +893,19 @@ class Mapper:
         with open(path, "rb") as f:
             blob = pickle.load(f)
         self._check_param_compat(blob["params"])
+        # optimizer-state layout changes (e.g. the optax multi_transform ->
+        # {embed: EmbedAdamState, decoder: optax} split) would otherwise
+        # pass the param check and die with an opaque indexing error deep
+        # inside the first jitted BA step
+        tu = jax.tree_util
+        ref_struct = tu.tree_structure(self.state.map_opt_state)
+        got_struct = tu.tree_structure(blob.get("map_opt_state"))
+        if got_struct != ref_struct:
+            raise ValueError(
+                "checkpoint optimizer state layout differs from this "
+                f"build (ckpt {got_struct} vs configured {ref_struct}) — "
+                "the full-state blob was written by an older version; "
+                "re-run from scratch or load params only via load_ckpt()")
         self.step = int(blob.pop("__step__", 0))
         state = jax.tree_util.tree_map(jnp.asarray, blob)
         self.state = MapperState(**state)

@@ -244,16 +244,25 @@ class RaycastSimulator(Simulator):
         scope; a clamped object comes to vertical rest."""
         g = float(self.cfg.sim.gravity)
         for st in self._obj_states:
-            st["pos"] = st["pos"] + st["vel"] * dt
             if g > 0.0:
-                drop = 0.5 * g * dt * dt          # fall accrued this step
+                # horizontal motion first; the vertical displacement is
+                # integrated WITH the accumulated fall velocity and clamped
+                # against the support as a whole — checking only the
+                # per-step 0.5*g*dt^2 term while pos += vel*dt applied
+                # vel_z unconditionally let fast-falling objects tunnel
+                # through the floor (contact must see |vel_z|*dt too)
+                st["pos"][0] += st["vel"][0] * dt
+                st["pos"][1] += st["vel"][1] * dt
+                drop = -(st["vel"][2] * dt) + 0.5 * g * dt * dt
                 support = self._support_distance(st)
                 if drop >= support - 1e-3:        # contact: come to rest
                     st["pos"][2] -= max(support - 1e-3, 0.0)
                     st["vel"][2] = 0.0
                 else:
-                    st["pos"][2] -= drop
+                    st["pos"][2] -= drop          # signed: <0 moves up
                     st["vel"][2] -= g * dt
+            else:
+                st["pos"] = st["pos"] + st["vel"] * dt
             w = st["angvel"] * dt
             if np.linalg.norm(w) > 0:
                 st["rot"] = _rotvec_matrix(w) @ st["rot"]

@@ -78,3 +78,20 @@ def test_parity_config_restores_reference_numerics():
     # and the shipped default is the fast path
     from naruto_tpu.config import make_config
     assert make_config("Replica", "office0").grid.layout == "hybrid"
+    # every config section survives the overlay as a dataclass (an empty
+    # YAML section parses to None and must mean "no overrides", not
+    # "replace the subtree with None" — regression: a dangling `decoder:`
+    # nulled cfg.decoder and crashed Mapper construction)
+    import dataclasses
+    for f in dataclasses.fields(cfg):
+        assert getattr(cfg, f.name) is not None, f.name
+
+
+def test_empty_yaml_section_is_noop(tmp_path):
+    from naruto_tpu.config import load_config
+
+    p = tmp_path / "exp.yaml"
+    p.write_text("dataset: Replica\nscene: office0\ndecoder:\ngrid:\n")
+    cfg = load_config(str(p))
+    assert cfg.decoder is not None and cfg.grid is not None
+    assert cfg.decoder.geo_feat_dim >= 0

@@ -161,6 +161,37 @@ class TestDynamicObjects:
         _, depth = sim.simulate(np.eye(4, dtype=np.float32))
         assert depth[20, 30] > 2.5
 
+    def test_gravity_no_tunneling_per_frame(self):
+        """Per-frame stepping (the reference's 1/30 s cadence): the contact
+        check must include the ACCUMULATED fall velocity's displacement —
+        clamping only the per-step 0.5*g*dt^2 term while pos += vel*dt
+        applied vel_z unconditionally let fast-falling objects pass through
+        the floor (support raycast then misses from below -> falls forever)."""
+        from naruto_tpu.sim.raycast import RaycastSimulator
+
+        cfg = make_config("Replica", "office0", num_iter=10)
+        cfg = deep_update(cfg, {
+            "cam": {"H": 40, "W": 60, "fx": 30.0, "fy": 30.0, "cx": 29.5,
+                    "cy": 19.5},
+            "sim": {"method": "raycast", "pinhole_hw": (40, 60),
+                    "erp_hw": (16, 32), "gravity": 10.0,
+                    "objects": [{"template": "sphere:0.3",
+                                 "location": [0, 0, 1.5]}]},
+            "start_c2w": None,
+        })
+        v, f, c = box_mesh([-3, -3, -3], [3, 3, 3])
+        sim = RaycastSimulator(cfg, verts=v, faces=f, colors=c)
+        st = sim._obj_states[0]
+        # re-drop after the constructor settle, then step at 30 Hz: the
+        # fall accrues ~0.33 m/frame of vel_z displacement by contact time
+        st["pos"] = np.array([0.0, 0.0, 1.5], np.float32)
+        st["vel"] = np.zeros(3, np.float32)
+        sim._set_pose_from_state(st)
+        for _ in range(120):                    # 4 s; free fall needs ~1 s
+            sim.step_physics(1.0 / 30.0)
+        np.testing.assert_allclose(st["pos"][2], -2.7, atol=0.02)
+        assert st["vel"][2] == 0.0
+
     def test_object_rotation_profile(self):
         # a thin box rotated 90 deg about y occludes differently
         sim_plain = self._make_sim([{"template": "box:0.8,0.8,0.05",
