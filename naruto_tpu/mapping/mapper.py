@@ -103,13 +103,13 @@ def _init_embed_state(table) -> EmbedAdamState:
 def _embed_adam_update(table, grads, st: EmbedAdamState, lr: float):
     """One Adam step on the table pytree; Pallas-fused per leaf on TPU."""
     from naruto_tpu.ops.pallas_kernels import (fused_adam,
-                                               outer_cumsum_supported)
+                                               fused_adam_supported)
 
     count = st.count + 1
     t = count.astype(jnp.float32)
     bc = jnp.stack([1.0 / (1.0 - EMBED_B1 ** t),
                     1.0 / (1.0 - EMBED_B2 ** t)]).reshape(2, 1)
-    use_pallas = outer_cumsum_supported()
+    use_pallas = fused_adam_supported()
 
     def leaf(p, m, v, g):
         if use_pallas:

@@ -182,17 +182,28 @@ def outer_cumsum(sa: jnp.ndarray, sb: jnp.ndarray,
     )(sa, sb, offs, ra16, rb16)
 
 
-def outer_cumsum_supported() -> bool:
-    """Pallas path is compiled only on real TPU backends (tests and the
-    CPU mesh use the XLA formulation)."""
+def _pallas_enabled(kernel_env: str) -> bool:
+    """Pallas paths compile only on real TPU backends (tests and the CPU
+    mesh use the XLA formulations). NARUTO_NO_PALLAS disables all kernels;
+    the per-kernel env (e.g. NARUTO_NO_PALLAS_CUMSUM) disables one — used
+    for isolated kernel-on/off benches (PERFORMANCE.md discipline: never
+    bench two graph changes together)."""
     import os
 
-    if os.environ.get("NARUTO_NO_PALLAS"):
+    if os.environ.get("NARUTO_NO_PALLAS") or os.environ.get(kernel_env):
         return False
     try:
         return jax.default_backend() == "tpu"
     except Exception:
         return False
+
+
+def outer_cumsum_supported() -> bool:
+    return _pallas_enabled("NARUTO_NO_PALLAS_CUMSUM")
+
+
+def fused_adam_supported() -> bool:
+    return _pallas_enabled("NARUTO_NO_PALLAS_ADAM")
 
 
 # ====================================================================== adam
