@@ -12,6 +12,9 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 class TestConfigTree:
     def test_all_scene_configs_load(self):
+        import dataclasses
+        import glob
+
         n = 0
         for ds in ("Replica", "MP3D", "NARUTO"):
             base = os.path.join(REPO, "configs", ds)
@@ -22,6 +25,14 @@ class TestConfigTree:
                 assert cfg.mapper.bound_np.shape == (3, 2)
                 n += 1
         assert n == 16
+        # EVERY shipped yaml (incl. parity + ablation overlays) must yield
+        # a config whose sections are all live dataclasses — an empty
+        # section once nulled cfg.decoder and crashed only at Mapper build
+        for path in glob.glob(os.path.join(REPO, "configs", "**", "*.yaml"),
+                              recursive=True):
+            cfg = load_config(path)
+            for f in dataclasses.fields(cfg):
+                assert getattr(cfg, f.name) is not None, (path, f.name)
 
     def test_office0_yaml_matches_preset(self):
         cfg = load_config(os.path.join(REPO, "configs", "Replica", "office0",
