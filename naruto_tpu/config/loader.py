@@ -71,8 +71,14 @@ def _load_yaml_with_inherit(path: str) -> Dict[str, Any]:
 
 
 def _update_recursive(dict1: Dict, dict2: Dict) -> None:
+    """Reference update_recursive semantics (src/utils/config_utils.py:63-76)
+    plus: an empty YAML section (`decoder:` -> None) means "no overrides" on
+    either side of an inherit_from merge — it must never null out an
+    inherited dict nor crash when the child later overrides into it."""
     for k, v in dict2.items():
-        if k not in dict1:
+        if v is None and isinstance(dict1.get(k), dict):
+            continue                      # child's empty section: keep base
+        if k not in dict1 or dict1[k] is None:
             dict1[k] = {} if isinstance(v, dict) else v
         if isinstance(v, dict):
             _update_recursive(dict1[k], v)

@@ -18,6 +18,13 @@ from __future__ import annotations
 import time
 
 import jax
+
+if __import__("os").environ.get("NARUTO_CEILING_SMOKE"):
+    # CPU logic check: the config update must precede any computation
+    # (jax is pre-imported with the TPU backend at interpreter startup;
+    # env vars are too late — CLAUDE.md)
+    jax.config.update("jax_platforms", "cpu")
+
 import jax.numpy as jnp
 import numpy as np
 
@@ -25,18 +32,22 @@ from naruto_tpu.utils.cache import enable_compilation_cache
 
 enable_compilation_cache()
 
-# default-bench shapes (hybrid layout, office0 settings)
+# default-bench shapes (hybrid layout, office0 settings).
+# NARUTO_CEILING_SMOKE=1 shrinks everything 16x for a CPU logic check.
+import os
+
+_DIV = 16 if os.environ.get("NARUTO_CEILING_SMOKE") else 1
 N_RAYS = 2176
 S = 43
-N_RENDER = N_RAYS * S            # 93,568 render points
-N_SMOOTH = 31 ** 3               # 29,791 smoothness lattice points
+N_RENDER = N_RAYS * S // _DIV    # 93,568 render points
+N_SMOOTH = 31 ** 3 // _DIV       # 29,791 smoothness lattice points
 N_PTS = N_RENDER + N_SMOOTH      # 123,359 encode points / iter
 L = 4                            # levels
-M = 374272                       # sorted segment keys / iter (render path)
-TABLE_ROWS = 210073              # derived gather-table rows (hybrid)
-SLOTS = 204089                   # segment-sum slot count
+M = 374272 // _DIV               # sorted segment keys / iter (render path)
+TABLE_ROWS = 210073 // _DIV      # derived gather-table rows (hybrid)
+SLOTS = 204089 // _DIV           # segment-sum slot count
 ROW_W = 64                       # 8 corners x 8 features
-HASH_ROWS = 131072               # trained hashed cell rows (levels 2-3)
+HASH_ROWS = 131072 // _DIV       # trained hashed cell rows (levels 2-3)
 
 
 def bench(name, step, state, reps=20):
@@ -73,8 +84,9 @@ def main():
         "0. dispatch floor (chained tiny op)", lambda s: s + 1.0, x)
 
     # ---- 1. HBM stream speed-of-light -------------------------------
-    big = jnp.asarray(rng.normal(size=(64, 1024, 1024)).astype(np.float32))
-    ms = bench("1. HBM stream: copy 256 MB (read+write 512 MB)",
+    nb = max(64 // _DIV, 2)
+    big = jnp.asarray(rng.normal(size=(nb, 1024, 1024)).astype(np.float32))
+    ms = bench(f"1. HBM stream: copy {nb * 4} MB (read+write {nb * 8} MB)",
                lambda s: s * 1.000001, big)
     gbps = 2 * big.size * 4 / (ms / 1000) / 1e9
     print(f"   -> effective HBM bandwidth {gbps:,.0f} GB/s")
@@ -86,9 +98,17 @@ def main():
     ).astype(jnp.bfloat16)
     idx = jnp.asarray(rng.integers(0, TABLE_ROWS, N_PTS * L)
                       .astype(np.int32))
+
+    def step_gather(s):
+        # fold the gather result into the threaded indices so the gather
+        # cannot be dead-code-eliminated from the jitted step
+        r = jnp.take(table16, s, axis=0)
+        salt = (r[0, 0].astype(jnp.float32) > 1e9).astype(jnp.int32)
+        return (s + 1 + salt) % TABLE_ROWS
+
     out["fwd gather"] = bench(
         f"2. fwd gather: {N_PTS * L:,} x {ROW_W} bf16 rows",
-        lambda s: (jnp.take(table16, s, axis=0).sum(), remix(s))[1], idx)
+        step_gather, idx)
 
     # ---- 3. the variadic segment sort -------------------------------
     key = jnp.asarray(np.sort(rng.integers(0, SLOTS, M)).astype(np.int32))
@@ -126,9 +146,15 @@ def main():
     # ---- 5. boundary gather (dense grad read-out) -------------------
     cs = jnp.asarray(rng.normal(size=(M, ROW_W)).astype(np.float32))
     ub = jnp.asarray(np.sort(rng.integers(0, M, SLOTS)).astype(np.int32))
+
+    def step_bgather(s):
+        r = jnp.take(cs, s, axis=0)
+        salt = (r[0, 0] > 1e9).astype(jnp.int32)
+        return jnp.minimum(s + salt + (s[0] % 2), M - 1)   # stays sorted
+
     out["boundary gather"] = bench(
         f"5. boundary gather: {SLOTS:,} x {ROW_W} f32 rows",
-        lambda s: (jnp.take(cs, s, axis=0).sum(), remix(s))[1], ub)
+        step_bgather, ub)
 
     # ---- 6. dense Adam sweep over the table group -------------------
     p = jnp.asarray(rng.normal(size=(HASH_ROWS, ROW_W)).astype(np.float32))
@@ -165,12 +191,23 @@ def main():
 
     # ---- 8. chunk_ranks at BA shapes --------------------------------
     from naruto_tpu.ops.segment import _chunk_ranks, _merge_ranks
+
+    def rank_step(fn):
+        # input stays a SORTED [M] key array every rep: fold a data-
+        # dependent 0/1 salt in (adding a constant preserves sortedness,
+        # clamped to the slot range) — no shape drift, no extra sort
+        def step(s):
+            ub = fn(s, SLOTS)
+            salt = (ub[-1] % 2).astype(jnp.int32)
+            return jnp.minimum(s + salt, SLOTS - 1)
+        return step
+
     out["chunk_ranks"] = bench(
         f"8. chunk_ranks boundary search: {M:,} keys -> {SLOTS:,} slots",
-        lambda s: remix(_chunk_ranks(jnp.sort(s), SLOTS)), key)
+        rank_step(_chunk_ranks), key)
     out["merge_ranks"] = bench(
         "8b. merge-rank double-argsort (replaced)",
-        lambda s: remix(_merge_ranks(jnp.sort(s), SLOTS)), key)
+        rank_step(_merge_ranks), key)
 
     # ---- summary ----------------------------------------------------
     render_only = {
