@@ -106,3 +106,23 @@ def test_empty_yaml_section_is_noop(tmp_path):
     cfg = load_config(str(p))
     assert cfg.decoder is not None and cfg.grid is not None
     assert cfg.decoder.geo_feat_dim >= 0
+
+
+def test_empty_section_in_inherit_merge(tmp_path):
+    """A dangling section on either side of inherit_from means 'no
+    overrides' — it must neither null inherited overrides nor crash."""
+    from naruto_tpu.config import load_config
+
+    base = tmp_path / "base.yaml"
+    base.write_text("dataset: Replica\nscene: office0\n"
+                    "decoder: {geo_feat_dim: 31}\n")
+    child = tmp_path / "child.yaml"
+    child.write_text(f"inherit_from: {base}\ndecoder:\n")
+    assert load_config(str(child)).decoder.geo_feat_dim == 31
+
+    base2 = tmp_path / "base2.yaml"
+    base2.write_text("dataset: Replica\nscene: office0\ndecoder:\n")
+    child2 = tmp_path / "child2.yaml"
+    child2.write_text(f"inherit_from: {base2}\n"
+                      "decoder: {geo_feat_dim: 29}\n")
+    assert load_config(str(child2)).decoder.geo_feat_dim == 29
