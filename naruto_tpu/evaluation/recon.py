@@ -83,9 +83,17 @@ def eval_mesh(rec_verts: np.ndarray, rec_faces: np.ndarray,
     if align and len(rec_pts) and len(gt_pts):
         T = icp_align(rec_pts[::20], gt_pts[::20])
         rec_pts = rec_pts @ T[:3, :3].T + T[:3, 3]
-    acc = nearest_distances(rec_pts, gt_pts).mean() * 100.0
+    acc_d = nearest_distances(rec_pts, gt_pts)
+    acc = acc_d.mean() * 100.0
     comp_d = nearest_distances(gt_pts, rec_pts)
     comp = comp_d.mean() * 100.0
     ratio = float((comp_d * 100.0 < threshold_cm).mean() * 100.0)
+    # F-score@threshold (beyond the reference's metric set, standard in
+    # recon papers): harmonic mean of precision (rec->gt within t) and
+    # recall (gt->rec within t) over the same distance arrays
+    prec = float((acc_d * 100.0 < threshold_cm).mean())
+    rec = ratio / 100.0
+    fscore = 2 * prec * rec / (prec + rec) if (prec + rec) > 0 else 0.0
     return {"accuracy_cm": float(acc), "completion_cm": float(comp),
-            "completion_ratio_pct": ratio}
+            "completion_ratio_pct": ratio,
+            "fscore_pct": float(fscore * 100.0)}

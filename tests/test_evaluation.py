@@ -23,6 +23,7 @@ class TestRecon:
     def test_identical_meshes_near_zero(self):
         v, f = unit_sphere_mesh()
         m = eval_mesh(v, f, v, f, n_samples=100_000)
+        assert m["fscore_pct"] > 99.9    # identical meshes: perfect F-score
         # floor = sampling noise (~0.5cm at this density on a unit sphere)
         assert m["accuracy_cm"] < 1.0
         assert m["completion_cm"] < 1.0
