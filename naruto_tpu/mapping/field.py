@@ -49,6 +49,8 @@ class FieldSpec:
     # "vertex" (exact tcnn) | "cell" (fast) | "hybrid" (fast + shared
     # vertices on dense levels) — see ops/encoding.HashGridSpec.layout
     table_layout: str = "vertex"
+    # backward sort payload: "weights" | "frac" (HashGridSpec.sort_carry)
+    sort_carry: str = "weights"
     voxel_sdf: float = 0.02
     pos_n_bins: int = 16
     geo_feat_dim: int = 15
@@ -73,7 +75,8 @@ class FieldSpec:
             log2_table_size=self.log2_hashmap_size,
             base_resolution=self.base_resolution,
             gather_dtype=self.table_dtype,
-            layout=self.table_layout)
+            layout=self.table_layout,
+            sort_carry=self.sort_carry)
 
     @functools.cached_property
     def uncert_shape(self) -> Tuple[int, int, int]:

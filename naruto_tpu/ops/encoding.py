@@ -70,6 +70,12 @@ class HashGridSpec:
     # the slack trades +1.7% total parameters for exact shared-vertex
     # semantics on every level coarser than ~10 cm.
     hybrid_dense_slack: float = 1.25
+    # cell/hybrid backward: what the gradient sort carries for the corner
+    # weights. "weights" = 8 bf16 weights (4 packed int32 columns, exact up
+    # to bf16 rounding); "frac" = ONE 3x10-bit packed-frac column with the
+    # weights recomputed post-sort (~33% less sort payload; <=0.3% extra
+    # weight quantization — see ops/segment.pack_frac).
+    sort_carry: str = "weights"
 
     @property
     def table_size(self) -> int:
@@ -465,8 +471,9 @@ def _hash_encode_bwd(spec, res, g):
 def encode_grads_from_gembed(spec, table, x, idx, w, g):
     """(d_table, d_x) from the embedding cotangent g [N, L*F] — the shared
     backward core behind hash_encode's VJP."""
-    from naruto_tpu.ops.segment import dense_segment_sum, \
-        dense_segment_sum_outer_level_major
+    from naruto_tpu.ops.segment import (
+        dense_segment_sum, dense_segment_sum_outer_level_major,
+        dense_segment_sum_outer_level_major_frac)
 
     n = x.shape[0]
     L, F = spec.n_levels, spec.n_features
@@ -478,8 +485,15 @@ def encode_grads_from_gembed(spec, table, x, idx, w, g):
         # Level-major flatten: the point-major [N, L*K] -> [N*L, K]
         # reshapes of idx/w/g cost ~7 ms/iter of physical relayouts on
         # v5e; segment sums are row-order invariant.
-        d_full = dense_segment_sum_outer_level_major(
-            idx, w.reshape(n, L, 8), g, spec.total_entries)
+        if spec.sort_carry == "frac":
+            # slim sort payload: one packed-frac column instead of 4
+            # packed-weight columns; weights recomputed post-sort
+            _, frac_s = _cell_pos(x, spec)
+            d_full = dense_segment_sum_outer_level_major_frac(
+                idx, frac_s, g, spec.total_entries)
+        else:
+            d_full = dense_segment_sum_outer_level_major(
+                idx, w.reshape(n, L, 8), g, spec.total_entries)
         if spec.layout == "hybrid":
             d_raw = split_table_grads(d_full, spec, table)
             d_table = jax.tree_util.tree_map(

@@ -139,7 +139,12 @@ def dense_segment_sum_outer_level_major(
     Equivalent to dense_segment_sum_outer(idx_nl.reshape(-1), ...) up to
     within-slot summation order, but avoids the row-splitting
     [N, L*K] -> [N*L, K] relayouts (~7 ms/iter measured in the BA step's
-    hash-grid backward at M=493k on v5e — see PERFORMANCE.md round 3)."""
+    hash-grid backward at M=493k on v5e — see PERFORMANCE.md round 3).
+
+    Precondition (hash-grid contract, _batched_sort): column lv's ids must
+    lie in level lv's own table range [off_lv, off_lv + size_lv) and those
+    ranges must ascend with lv — true for flat-table slot ids that include
+    the per-level offsets."""
     n, L = idx_nl.shape
     ka = a_nl.shape[-1]
     kb = b_nl.shape[-1] // L
@@ -149,25 +154,118 @@ def dense_segment_sum_outer_level_major(
     a16 = _pack_pairs_level_major(a_nl.reshape(n, L * ka), L, ka)
     b16 = _pack_pairs_level_major(b_nl, L, kb)
     return _segment_sum_outer_packed(key, a16, b16, ka, kb, size,
-                                     use_pallas)
+                                     use_pallas, n_batch=L)
+
+
+def _batched_sort(ops, n_batch: int):
+    """Variadic sort of level-major flat [M] operands as n_batch
+    INDEPENDENT per-level sorts ([L, N] batched along axis 0 — XLA sorts
+    each row separately). Because every key carries its level's table
+    offset, the levels' key ranges are disjoint and ordered, so the
+    flattened concatenation of per-level sorts is ALREADY globally sorted:
+    same result as one flat sort at ~log(N/L)/log(N) of the bitonic pass
+    count, exploiting that the level-major input never mixes levels.
+    Set NARUTO_FLAT_SORT=1 to fall back to the single flat sort (A/B)."""
+    import os
+    m = ops[0].shape[0]
+    if (n_batch <= 1 or m % n_batch
+            or os.environ.get("NARUTO_FLAT_SORT")):
+        return jax.lax.sort(ops, num_keys=1)
+    n = m // n_batch
+    batched = jax.lax.sort(tuple(o.reshape(n_batch, n) for o in ops),
+                           dimension=1, num_keys=1)
+    return tuple(o.reshape(m) for o in batched)
 
 
 def _segment_sum_outer_packed(key: jnp.ndarray, a16: jnp.ndarray,
                               b16: jnp.ndarray, ka: int, kb: int,
-                              size: int,
-                              use_pallas: bool | None) -> jnp.ndarray:
+                              size: int, use_pallas: bool | None,
+                              n_batch: int = 1) -> jnp.ndarray:
     """Shared post-pack pipeline: variadic sort on packed bf16-pair
     columns, merge-rank boundaries, expand+cumsum, boundary diffs."""
     m = key.shape[0]
     ops = (key,) + tuple(
         a16[:, j] for j in range(ka // 2)) + tuple(
         b16[:, j] for j in range(kb // 2))
-    sorted_ops = jax.lax.sort(ops, num_keys=1)
+    sorted_ops = _batched_sort(ops, n_batch)
     si = sorted_ops[0]
     sa16 = jnp.stack(sorted_ops[1:1 + ka // 2], axis=-1)[..., None] \
         .view(jnp.bfloat16).reshape(m, ka)
     sb16 = jnp.stack(sorted_ops[1 + ka // 2:], axis=-1)[..., None] \
         .view(jnp.bfloat16).reshape(m, kb)
+    return _outer_from_sorted(si, sa16, sb16, ka, kb, size, use_pallas)
+
+
+PACK_FRAC_BITS = 10   # 3 axes x 10-bit fixed point in one int32 sort column
+
+
+def pack_frac(frac: jnp.ndarray) -> jnp.ndarray:
+    """Quantize per-cell fractional coords [..., 3] in [0, 1] to 3x10-bit
+    fixed point packed in ONE int32 — a 1-column sort payload replacing the
+    4 packed-bf16 corner-weight columns (the weights are a pure function of
+    frac and get recomputed post-sort). Max weight error from the 1/1023
+    frac resolution is ~0.3% relative, the same order as the bf16 rounding
+    the weight-carry path already applies."""
+    scale = float((1 << PACK_FRAC_BITS) - 1)
+    q = jnp.clip(jnp.round(frac * scale), 0, scale).astype(jnp.int32)
+    return q[..., 0] | (q[..., 1] << PACK_FRAC_BITS) \
+        | (q[..., 2] << (2 * PACK_FRAC_BITS))
+
+
+def corner_weights_from_packed(qf: jnp.ndarray) -> jnp.ndarray:
+    """Packed frac [M] int32 -> trilinear corner weights [M, 8] float32 in
+    the encoding's corner order (c = cx*4 + cy*2 + cz)."""
+    mask = (1 << PACK_FRAC_BITS) - 1
+    scale = float(mask)
+    f = jnp.stack(
+        [(qf >> (ax * PACK_FRAC_BITS)) & mask for ax in range(3)],
+        axis=-1).astype(jnp.float32) / scale               # [M, 3]
+    w = []
+    for cx in (0, 1):
+        tx = f[:, 0] if cx else 1.0 - f[:, 0]
+        for cy in (0, 1):
+            ty = f[:, 1] if cy else 1.0 - f[:, 1]
+            for cz in (0, 1):
+                tz = f[:, 2] if cz else 1.0 - f[:, 2]
+                w.append(tx * ty * tz)
+    return jnp.stack(w, axis=-1)
+
+
+def dense_segment_sum_outer_level_major_frac(
+        idx_nl: jnp.ndarray, frac_nl: jnp.ndarray, b_nl: jnp.ndarray,
+        size: int, use_pallas: bool | None = None) -> jnp.ndarray:
+    """dense_segment_sum_outer_level_major with the 8 corner weights
+    replaced in the SORT by one packed-frac column (see pack_frac):
+    ~33% less variadic-sort payload (6 operands vs 9 at F=8), with the
+    [M, 8] weight expansion recomputed from the sorted fracs — cheap VPU
+    elementwise work vs sort bandwidth.
+
+    idx_nl: [N, L] int32 slot ids; frac_nl: [N, L, 3] in [0, 1];
+    b_nl: [N, L*B]. Returns [size, 8*B]."""
+    n, L = idx_nl.shape
+    kb = b_nl.shape[-1] // L
+    _check_even(8, kb)
+    key = jnp.concatenate(
+        [idx_nl[:, lv] for lv in range(L)]).astype(jnp.int32)
+    qf = pack_frac(frac_nl)                               # [N, L]
+    qf_lm = jnp.concatenate([qf[:, lv] for lv in range(L)])
+    b16 = _pack_pairs_level_major(b_nl, L, kb)
+    ops = (key, qf_lm) + tuple(b16[:, j] for j in range(kb // 2))
+    sorted_ops = _batched_sort(ops, L)
+    si = sorted_ops[0]
+    m = si.shape[0]
+    sa16 = corner_weights_from_packed(sorted_ops[1]).astype(jnp.bfloat16)
+    sb16 = jnp.stack(sorted_ops[2:], axis=-1)[..., None] \
+        .view(jnp.bfloat16).reshape(m, kb)
+    return _outer_from_sorted(si, sa16, sb16, 8, kb, size, use_pallas)
+
+
+def _outer_from_sorted(si: jnp.ndarray, sa16: jnp.ndarray,
+                       sb16: jnp.ndarray, ka: int, kb: int, size: int,
+                       use_pallas: bool | None) -> jnp.ndarray:
+    """Post-sort tail shared by the weight-carry and frac-carry paths:
+    run boundaries, fused (or XLA) expand+cumsum, boundary diffs."""
+    m = si.shape[0]
     ub = _chunk_ranks(si, size)
 
     from naruto_tpu.ops.pallas_kernels import (outer_cumsum,

@@ -11,11 +11,18 @@ Honest-timing discipline: the backend is async and caches (executable,
 input) pairs, so every step threads fresh data (output feeds next input)
 and we report per-rep wall time over many reps.
 
-Run on TPU: PYTHONPATH=. python scripts/ceiling_analysis.py
+Run on TPU: python scripts/ceiling_analysis.py  (repo root self-inserted)
 """
 from __future__ import annotations
 
+import os as _os
+import sys as _sys
 import time
+
+# make `python scripts/ceiling_analysis.py` work from anywhere without
+# touching PYTHONPATH (which must keep the interpreter's site dir)
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(
+    _os.path.abspath(__file__))))
 
 import jax
 
@@ -126,6 +133,40 @@ def main():
     out["keys-only sort"] = bench(
         f"3b. keys-only sort: {M:,} int32",
         lambda s: remix(jnp.sort(s)), key)
+
+    # batched per-level variant (the default since r3: 4 independent
+    # sorts of M/4 — level ranges are disjoint so flat order == concat)
+    L_SORT = 4
+    mb = M - (M % L_SORT)
+
+    def step_sort_batched(st):
+        k, ps = st
+        ops = jax.lax.sort(
+            tuple(o[:mb].reshape(L_SORT, mb // L_SORT) for o in (k,) + ps),
+            dimension=1, num_keys=1)
+        return remix(ops[0].reshape(mb)), tuple(
+            o.reshape(mb) for o in ops[1:])
+
+    out["batched sort"] = bench(
+        f"3c. batched per-level sort: {L_SORT} x {mb // L_SORT:,} keys"
+        f" + 8 payload cols",
+        step_sort_batched, (key, pay))
+
+    # slim frac-carry payload (sort_carry="frac": 1 packed-frac col + 4
+    # grad cols instead of 4 weight + 4 grad)
+    def step_sort_slim(st):
+        k, ps = st
+        ops = jax.lax.sort(
+            tuple(o[:mb].reshape(L_SORT, mb // L_SORT)
+                  for o in (k,) + ps[:5]),
+            dimension=1, num_keys=1)
+        return remix(ops[0].reshape(mb)), tuple(
+            o.reshape(mb) for o in ops[1:]) + ps[5:]
+
+    out["slim batched sort"] = bench(
+        f"3d. batched sort, frac-carry payload: {L_SORT} x"
+        f" {mb // L_SORT:,} keys + 5 payload cols",
+        step_sort_slim, (key, pay))
 
     # ---- 4. expand + cumsum (segment-sum core) ----------------------
     a16 = jnp.asarray(rng.normal(size=(M, 8)).astype(np.float32)) \

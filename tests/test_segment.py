@@ -79,7 +79,12 @@ class TestSegmentSum:
         from naruto_tpu.ops.segment import \
             dense_segment_sum_outer_level_major
         size, n, L, F = 96, 700, 4, 8
-        idx = jnp.asarray(rng.integers(0, size, (n, L)), dtype=jnp.int32)
+        # hash-grid contract: level lv's slot ids live in its own disjoint
+        # ascending table range (flat ids include per-level offsets)
+        per = size // L
+        idx = jnp.asarray(
+            rng.integers(0, per, (n, L)) + np.arange(L) * per,
+            dtype=jnp.int32)
         w = jnp.asarray(rng.normal(size=(n, L, 8)).astype(np.float32))
         g = jnp.asarray(rng.normal(size=(n, L * F)).astype(np.float32))
         ref = dense_segment_sum_outer(
@@ -91,6 +96,71 @@ class TestSegmentSum:
             scale = float(np.abs(np.asarray(ref)).max())
             np.testing.assert_allclose(np.asarray(out) / scale,
                                        np.asarray(ref) / scale, atol=2e-3)
+
+    def test_batched_sort_equals_flat_sort(self, rng):
+        """Per-level batched sort of level-major operands with disjoint
+        ascending per-level key ranges flattens to EXACTLY the flat global
+        sort's keys (payload order within equal keys may differ)."""
+        from naruto_tpu.ops.segment import _batched_sort
+        L, n = 4, 512
+        key = jnp.asarray(
+            (rng.integers(0, 100, (L, n)) + np.arange(L)[:, None] * 100)
+            .reshape(-1).astype(np.int32))
+        pay = jnp.asarray(rng.integers(-5, 5, L * n).astype(np.int32))
+        bk, bp = _batched_sort((key, pay), L)
+        fk, fp = jax.lax.sort((key, pay), num_keys=1)
+        np.testing.assert_array_equal(np.asarray(bk), np.asarray(fk))
+        # payload multisets per key must agree
+        import collections
+        cb = collections.Counter(zip(np.asarray(bk).tolist(),
+                                     np.asarray(bp).tolist()))
+        cf = collections.Counter(zip(np.asarray(fk).tolist(),
+                                     np.asarray(fp).tolist()))
+        assert cb == cf
+
+    def test_pack_frac_weight_roundtrip(self, rng):
+        """corner_weights_from_packed(pack_frac(f)) reproduces the
+        encoding's trilinear corner weights to the 10-bit resolution."""
+        from naruto_tpu.ops.encoding import _corner_weights
+        from naruto_tpu.ops.segment import (corner_weights_from_packed,
+                                            pack_frac)
+        frac = jnp.asarray(rng.uniform(0, 1, (500, 2, 3)).astype(np.float32))
+        w_ref = np.asarray(_corner_weights(frac)).reshape(-1, 8)
+        w_q = np.asarray(
+            corner_weights_from_packed(pack_frac(frac).reshape(-1)))
+        # 10-bit frac -> <= ~3/1023 absolute weight error
+        np.testing.assert_allclose(w_q, w_ref, atol=3.5e-3)
+        # weights still partition unity exactly (products of exact pairs)
+        np.testing.assert_allclose(w_q.sum(-1), 1.0, atol=1e-5)
+        # exact at the corners
+        f0 = jnp.asarray([[0.0, 1.0, 0.0]], jnp.float32)
+        w0 = np.asarray(corner_weights_from_packed(pack_frac(f0)))
+        assert w0[0, 0b010] == 1.0 and w0.sum() == 1.0
+
+    def test_outer_frac_carry_matches_weight_carry(self, rng):
+        """The slim frac-carry sort payload computes the same segment sums
+        as the weight-carry path (up to the 10-bit frac quantization),
+        for both the Pallas and XLA tails."""
+        from naruto_tpu.ops.encoding import _corner_weights
+        from naruto_tpu.ops.segment import (
+            dense_segment_sum_outer_level_major,
+            dense_segment_sum_outer_level_major_frac)
+        size, n, L, F = 96, 700, 4, 8
+        per = size // L
+        idx = jnp.asarray(
+            rng.integers(0, per, (n, L)) + np.arange(L) * per,
+            dtype=jnp.int32)
+        frac = jnp.asarray(rng.uniform(0, 1, (n, L, 3)).astype(np.float32))
+        g = jnp.asarray(rng.normal(size=(n, L * F)).astype(np.float32))
+        w = _corner_weights(frac)
+        ref = dense_segment_sum_outer_level_major(idx, w, g, size,
+                                                  use_pallas=False)
+        scale = float(np.abs(np.asarray(ref)).max())
+        for use_pallas in (False, True):
+            out = dense_segment_sum_outer_level_major_frac(
+                idx, frac, g, size, use_pallas=use_pallas)
+            np.testing.assert_allclose(np.asarray(out) / scale,
+                                       np.asarray(ref) / scale, atol=6e-3)
 
 
 class TestHashEncodeVJP:
@@ -153,6 +223,31 @@ class TestHashEncodeVJP:
         scale = float(np.abs(np.asarray(ref_gt)).max()) + 1e-12
         np.testing.assert_allclose(np.asarray(gt) / scale,
                                    np.asarray(ref_gt) / scale, atol=6e-3)
+
+    def test_frac_carry_table_grad_matches_weight_carry(self, rng):
+        """sort_carry="frac" (slim sort payload) produces table grads that
+        match the weight-carry backward to the frac quantization."""
+        for layout in ("cell", "hybrid"):
+            spec_w = HashGridSpec(n_levels=3, log2_table_size=10,
+                                  base_resolution=4, finest_resolution=16,
+                                  layout=layout, sort_carry="weights")
+            spec_f = HashGridSpec(n_levels=3, log2_table_size=10,
+                                  base_resolution=4, finest_resolution=16,
+                                  layout=layout, sort_carry="frac")
+            table = init_hash_table(jax.random.PRNGKey(0), spec_w)
+            x = jnp.asarray(rng.uniform(0.05, 0.95, (60, 3))
+                            .astype(np.float32))
+            g = jnp.asarray(rng.normal(size=(60, spec_w.output_dim))
+                            .astype(np.float32))
+            _, vjp_w = jax.vjp(lambda t: hash_encode(t, x, spec_w), table)
+            _, vjp_f = jax.vjp(lambda t: hash_encode(t, x, spec_f), table)
+            (gw,), (gf,) = vjp_w(g), vjp_f(g)
+            for a, b in zip(jax.tree_util.tree_leaves(gw),
+                            jax.tree_util.tree_leaves(gf)):
+                scale = float(np.abs(np.asarray(a)).max()) + 1e-12
+                np.testing.assert_allclose(
+                    np.asarray(b) / scale, np.asarray(a) / scale,
+                    atol=8e-3, err_msg=layout)
 
     def test_cell_layout_input_grad_finite_difference(self, rng):
         spec = HashGridSpec(n_levels=2, log2_table_size=10,
