@@ -83,6 +83,12 @@ class GridConfig:
     # "vertex" (or load configs/parity.yaml) for exact tcnn semantics on
     # every level. Quality A/B in PERFORMANCE.md.
     layout: str = "hybrid"
+    # cell/hybrid gradient sort payload: "weights" (exact-to-bf16 corner
+    # weights, 4 packed columns) | "frac" (one 3x10-bit packed-frac column,
+    # weights recomputed post-sort; ~33% slimmer sort at <=0.3% weight
+    # quantization — see ops/segment.pack_frac). Default stays "weights"
+    # until the frac path shows a measured win (bench each solo).
+    sort_carry: str = "weights"
     base_resolution: int = 16
     voxel_sdf: float = 0.02         # finest resolution = max bbox len / this
     voxel_color: float = 0.08
@@ -120,6 +126,11 @@ class TrainingConfig:
     # 0 = reference full-grid TV; >0 = Monte-Carlo TV from this many
     # random grid pairs per axis (cuts ~30k extra field points/iter)
     smooth_sample: int = 0
+    # 1 = reference cadence (smoothness every BA iteration); k>1 = pay the
+    # regularizer rider only every k-th iteration with its weight scaled by
+    # k (same expected gradient; skipped iterations execute a smaller
+    # compiled branch). Default 1 for exact reference numerics.
+    smooth_every: int = 1
     n_samples_d: int = 32           # uniform samples near..far
     range_d: float = 0.1            # +- range around measured depth
     n_range_d: int = 11             # depth-guided samples
@@ -159,6 +170,11 @@ class MapperConfig:
     # (active_ray_sampler.py:127) though its docstring says highest; False
     # reproduces the shipped behavior, True follows the paper's description
     active_select_highest: bool = False
+    # True = TPU-native jax.lax.approx_max_k for the K-of-oversample
+    # selection (recall ~0.95; the selection is a sampling heuristic, so a
+    # near-miss set is statistically equivalent). False = exact top_k,
+    # matching the reference's argpartition semantics.
+    approx_topk: bool = False
     # scene AABB (meters) — ref: configs/<ds>/<scene>/coslam.yaml
     bound: Bound = ((-2.2, 2.6), (-3.4, 2.1), (-1.4, 2.0))
     marching_cubes_bound: Bound = ((-2.2, 2.6), (-3.4, 2.1), (-1.4, 2.0))

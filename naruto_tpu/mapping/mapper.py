@@ -160,6 +160,7 @@ class Mapper:
             base_resolution=cfg.grid.base_resolution,
             table_dtype=cfg.grid.table_dtype,
             table_layout=cfg.grid.layout,
+            sort_carry=cfg.grid.sort_carry,
             voxel_sdf=cfg.grid.voxel_sdf,
             pos_n_bins=cfg.grid.pos_n_bins,
             geo_feat_dim=cfg.decoder.geo_feat_dim,
@@ -291,22 +292,25 @@ class Mapper:
 
     # ------------------------------------------------------- loss + update
     def _loss_fn(self, params, key, rays_o, rays_d, target_rgb, target_d,
-                 ray_mask, with_smooth, z_noise=None, axis=None):
+                 ray_mask, with_smooth, z_noise=None, axis=None,
+                 smooth_scale=1.0):
         k_render, k_smooth = jax.random.split(key)
+        lw = (self.lw._replace(smooth=self.lw.smooth * smooth_scale)
+              if smooth_scale != 1.0 else self.lw)
         extra = None
-        if with_smooth and self.lw.smooth > 0:
+        if with_smooth and lw.smooth > 0:
             from naruto_tpu.mapping.losses import smoothness_points
-            extra, _ = smoothness_points(self.spec, k_smooth, self.lw)
+            extra, _ = smoothness_points(self.spec, k_smooth, lw)
         rend = render_rays(params, self.spec, self.rc, k_render,
                            rays_o, rays_d, target_d, extra_pts01=extra,
                            z_noise=z_noise)
         loss, aux = total_loss(params, self.spec, rend, target_rgb, target_d,
-                               ray_mask, k_smooth, self.lw,
+                               ray_mask, k_smooth, lw,
                                with_smooth=with_smooth, axis=axis)
         return loss, aux
 
     def _grad_fn(self, params, key, rays_o, rays_d, target_rgb, target_d,
-                 ray_mask, with_smooth):
+                 ray_mask, with_smooth, smooth_scale=1.0):
         """Field-parameter gradients for one BA iteration; data-parallel
         over the 'data' mesh axis when cfg.parallel.shard_rays (SURVEY.md
         §2.7 DP row): rays sharded, params replicated, grads all-reduced
@@ -326,7 +330,7 @@ class Mapper:
             (_, _), grads = jax.value_and_grad(
                 self._loss_fn, has_aux=True)(
                     params, key, rays_o, rays_d, target_rgb, target_d,
-                    ray_mask, with_smooth)
+                    ray_mask, with_smooth, smooth_scale=smooth_scale)
             return grads
 
         from jax.sharding import PartitionSpec as P
@@ -344,7 +348,7 @@ class Mapper:
                 p = jax.tree_util.tree_map(_to_varying, p)
                 loss, aux = self._loss_fn(
                     p, key, rays_o, rays_d, t_rgb, t_d, mask,
-                    with_smooth, z_noise, "data")
+                    with_smooth, z_noise, "data", smooth_scale)
                 return loss / jax.lax.axis_size("data"), aux
             (_, _), g = jax.value_and_grad(lf, has_aux=True)(params)
             return g
@@ -417,7 +421,12 @@ class Mapper:
         n_sample = self.cfg.mapper.sample
         state = state._replace(poses=state.poses.at[0].set(c2w))
 
-        def body(st, k):
+        # as in _ba_impl: only the mutable state slices ride the scan
+        # carry; the keyframe buffer / poses / uncert volume are invariant
+        def body(light, k):
+            st = state._replace(
+                params=light[0], map_opt_state=light[1],
+                uncert_opt_state=light[2], uncert_accum=light[3])
             k1, k2, k3 = jax.random.split(k, 3)
             idx = jax.random.randint(k1, (n_sample,), 0, self.H * self.W)
             rays = frame_rays[idx]
@@ -428,10 +437,18 @@ class Mapper:
                                   mask, False)
             st = self._apply_map_update(st, grads)
             st = self._accum_uncert(st, grads)
-            return st, None
+            return (st.params, st.map_opt_state, st.uncert_opt_state,
+                    st.uncert_accum), None
 
         keys = jax.random.split(key, self.cfg.mapper.first_iters)
-        state, _ = jax.lax.scan(body, state, keys)
+        light, _ = jax.lax.scan(
+            body,
+            (state.params, state.map_opt_state, state.uncert_opt_state,
+             state.uncert_accum),
+            keys)
+        state = state._replace(
+            params=light[0], map_opt_state=light[1],
+            uncert_opt_state=light[2], uncert_accum=light[3])
         state = self._apply_uncert_update(state)
         return state
 
@@ -511,7 +528,9 @@ class Mapper:
         num_keep = num_cur // 4
         num_cand = num_cur - num_keep
 
-        def body(st, pv, k):
+        smooth_every = max(int(self.cfg.training.smooth_every), 1)
+
+        def body(st, pv, k, it):
             ks = jax.random.split(k, 3)
             g_rays, g_slots = sample_global_rays(st.kf, ks[0], n_os)
             j = jax.random.randint(ks[1], (cur_cap,), 0, n_valid)
@@ -550,7 +569,15 @@ class Mapper:
                 u = st.uncert_vol[vi[:, 0], vi[:, 1], vi[:, 2]]
                 score = -u if m.active_select_highest else u
                 score = jnp.where(cand_valid, score, jnp.inf)
-                _, sel = jax.lax.top_k(-score, k_sel)
+                if m.approx_topk:
+                    # TPU-native approximate top-k (recall ~0.95): the
+                    # selection is a sampling heuristic to begin with
+                    # (lowest-uncertainty K of a random 4x oversample), so
+                    # a near-miss set is statistically equivalent; the
+                    # exact lax.top_k is serial-ish on TPU at these sizes.
+                    _, sel = jax.lax.approx_max_k(-score, k_sel)
+                else:
+                    _, sel = jax.lax.top_k(-score, k_sel)
             else:
                 sel = None
 
@@ -589,18 +616,49 @@ class Mapper:
                 pose_grads["trans"] = pose_grads["trans"] * slot_mask
             else:
                 rays_o, rays_d, t_rgb, t_d, mask = build_batch(pv)
-                grads = self._grad_fn(st.params, ks[2], rays_o, rays_d,
-                                      t_rgb, t_d, mask, True)
+                if smooth_every == 1:
+                    grads = self._grad_fn(st.params, ks[2], rays_o, rays_d,
+                                          t_rgb, t_d, mask, True)
+                else:
+                    # smoothness cadence: pay the regularizer's field
+                    # fwd+bwd rider (~30% of field points) only every
+                    # k-th iteration, scaled by k so the EXPECTED gradient
+                    # matches the every-iteration baseline. The skipped
+                    # branch compiles with the SMALLER static sort/render
+                    # shapes (extra lattice points absent), so TPU executes
+                    # the cheap graph on skipped iterations.
+                    ops = (st.params, ks[2], rays_o, rays_d, t_rgb, t_d,
+                           mask)
+                    grads = jax.lax.cond(
+                        it % smooth_every == 0,
+                        lambda a: self._grad_fn(
+                            *a, True, float(smooth_every)),
+                        lambda a: self._grad_fn(*a, False),
+                        ops)
                 pose_grads = None
 
             st = self._apply_map_update(st, grads)
             st = self._accum_uncert(st, grads)
             return st, pose_grads
 
+        # scan carry holds ONLY the mutable slices of MapperState — the
+        # multi-hundred-MB keyframe buffer, pose table and uncertainty
+        # volume are loop-invariant in BA and stay OUT of the carry
+        # (closed over), so the loop body never routes them as loop
+        # operands (carry plumbing showed up in the r3 device trace).
+        def _pack_light(st):
+            return (st.params, st.map_opt_state, st.uncert_opt_state,
+                    st.uncert_accum)
+
+        def _unpack_light(light):
+            return state._replace(
+                params=light[0], map_opt_state=light[1],
+                uncert_opt_state=light[2], uncert_accum=light[3])
+
         def outer(carry, inputs):
-            st, pv, p_opt, p_accum = carry
+            light, pv, p_opt, p_accum = carry
             it, k = inputs
-            st, pose_grads = body(st, pv, k)
+            st, pose_grads = body(_unpack_light(light), pv, k, it)
             if self.spec.uncert_grid:
                 st = self._cond_uncert_update(
                     (it + 1) % m.uncert_accum_iters == 0, st)
@@ -618,16 +676,18 @@ class Mapper:
                 pv, p_opt, p_accum = jax.lax.cond(
                     (it + 1) % m.pose_accum_step == 0,
                     do_step, lambda a: a, (pv, p_opt, p_accum))
-            return (st, pv, p_opt, p_accum), None
+            return (_pack_light(st), pv, p_opt, p_accum), None
 
         iters = m.iters
         keys = jax.random.split(key, iters)
         if opt_poses:
-            carry0 = (state, pose_vars0, pose_opt0, pose_accum0)
+            carry0 = (_pack_light(state), pose_vars0, pose_opt0,
+                      pose_accum0)
         else:
-            carry0 = (state, None, None, None)
-        (state, pv, _, _), _ = jax.lax.scan(
+            carry0 = (_pack_light(state), None, None, None)
+        (light, pv, _, _), _ = jax.lax.scan(
             outer, carry0, (jnp.arange(iters, dtype=jnp.int32), keys))
+        state = _unpack_light(light)
 
         if opt_poses:
             # write optimized poses back (ref coslam.py:400-407)

@@ -254,6 +254,29 @@ class TestMapperEndToEnd:
         np.testing.assert_allclose(before, after)
 
 
+class TestMapperVariants:
+    def test_smooth_cadence_and_frac_carry_run(self):
+        """smooth_every=2 (conditional regularizer rider) + the slim
+        frac-carry sort payload drive the full online_recon_step and still
+        learn the wall; smooth_every=1 default is untouched parity."""
+        cfg = tiny_cfg()
+        cfg = deep_update(cfg, {"training": {"smooth_every": 2},
+                                "grid": {"sort_carry": "frac"},
+                                "mapper": {"approx_topk": True}})
+        assert cfg.training.smooth_every == 2
+        mapper = Mapper(cfg)
+        assert mapper.spec.hash_spec.sort_carry == "frac"
+        color, depth = _render_wall_frame(cfg)
+        c2w = np.eye(4, dtype=np.float32)
+        for i in range(6):
+            mapper.update_step(i)
+            mapper.online_recon_step(i, color, depth, c2w)
+        near_cam = mapper.predict_sdf(np.array([[0.0, 0.0, 0.3]]))
+        at_wall = mapper.predict_sdf(np.array([[0.0, 0.0, 1.5]]))
+        assert np.isfinite(near_cam[0]) and np.isfinite(at_wall[0])
+        assert near_cam[0] > at_wall[0]
+
+
 class TestFullStateResume:
     def test_resume_reproduces_run(self):
         """Mid-run full-state checkpoint -> identical continuation."""
