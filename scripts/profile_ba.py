@@ -6,9 +6,14 @@ Then inspect the .trace.json.gz with scripts/trace_summary.py.
 from __future__ import annotations
 
 import argparse
+import os as _os
+import sys as _sys
 import time
 
 import numpy as np
+
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(
+    _os.path.abspath(__file__))))
 
 
 def main() -> None:

@@ -52,12 +52,10 @@ def orbit_poses(n, radius=0.55, height=0.0):
     return poses
 
 
-@pytest.mark.slow
-def test_passive_mapping_reconstructs_room():
-    cfg = quality_cfg()
+def _run_passive(cfg):
+    """Deterministic passive mapping run; returns (mapper, sim)."""
     sim = init_simulator(cfg)
     mapper = Mapper(cfg)
-
     poses = orbit_poses(15)
     n_frames = 75
     for i in range(n_frames):
@@ -66,12 +64,21 @@ def test_passive_mapping_reconstructs_room():
         mapper.update_step(i)
         mapper.online_recon_step(i, np.asarray(color), np.asarray(depth),
                                  pose)
+    return mapper, sim
 
-    # ground truth mesh from the analytic SDF
+
+def _gt_mesh(sim):
     gt_sdf = sim.gt_occupancy_volume(voxel_size=0.04)
     gt_v_vox, gt_f = marching_cubes(gt_sdf, truncation=1e9)
     bound = np.asarray(BOUND)
-    gt_v = gt_v_vox * 0.04 + bound[:, 0]
+    return gt_v_vox * 0.04 + bound[:, 0], gt_f
+
+
+@pytest.mark.slow
+def test_passive_mapping_reconstructs_room():
+    cfg = quality_cfg()
+    mapper, sim = _run_passive(cfg)
+    gt_v, gt_f = _gt_mesh(sim)
 
     rec_v, rec_f, _ = extract_mesh(mapper, voxel_size=0.04,
                                    color_mode="none")
@@ -90,3 +97,22 @@ def test_passive_mapping_reconstructs_room():
     # not be the init value everywhere
     u, s = mapper.get_map_volumes()
     assert (u < 3.0).mean() > 0.5
+
+
+@pytest.mark.slow
+def test_hybrid_layout_quality_guard_vs_vertex():
+    """CI-tier guard on the fast default layout's quality: the hybrid
+    layout (default, shared vertices on dense levels + per-cell copies on
+    hashed levels) must track the exact-tcnn vertex layout's MAD on the
+    same deterministic passive schedule. Guards against a regression of
+    the r2 cell-layout cliff (0.44 -> 0.75 cm MAD at full budget,
+    PERFORMANCE.md quality A/B) ever re-entering the default config."""
+    mads = {}
+    for layout in ("vertex", "hybrid"):
+        cfg = deep_update(quality_cfg(), {"grid": {"layout": layout}})
+        mapper, sim = _run_passive(cfg)
+        gt_v, gt_f = _gt_mesh(sim)
+        mads[layout] = eval_mad(mapper, gt_v, gt_f, n_samples=20_000)
+    # deterministic runs: a genuine semantics break shows up as a large
+    # ratio; the r2 cell regression measured ~1.7x at full budget
+    assert mads["hybrid"] < mads["vertex"] * 1.5 + 0.5, mads
