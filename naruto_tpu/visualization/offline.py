@@ -341,11 +341,14 @@ def main(argv=None):
     p.add_argument("--video", default=None,
                    help="optional mp4 path for replay mode")
     p.add_argument("--stride", type=int, default=1)
+    p.add_argument("--kind", default="color_mesh",
+                   help="mesh_evo subdir: color_mesh | uncert_mesh (saver "
+                        "artifacts) or mesh (engine's periodic snapshots)")
     args = p.parse_args(argv)
     if args.mode == "traj":
         plot_trajectory(args.run, args.out)
     elif args.mode == "mesh_evo":
-        mesh_evolution(args.run, args.out)
+        mesh_evolution(args.run, args.out, kind=args.kind)
     elif args.mode == "replay":
         replay(args.run, args.out, stride=args.stride,
                video_path=args.video)
