@@ -16,14 +16,21 @@ Conventions (RDF camera frame: +x right, +y down, +z forward):
 """
 from __future__ import annotations
 
+import functools
 from typing import Tuple
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
 
+@functools.partial(jax.jit, static_argnums=(0, 1))
 def erp_ray_dirs(H: int, W: int) -> jnp.ndarray:
-    """[H, W, 3] unit ray directions in the RDF camera frame."""
+    """[H, W, 3] unit ray directions in the RDF camera frame.
+
+    Jitted with static (H, W): eagerly this is ~15 tiny op dispatches,
+    each a round trip on the remote-execute backend; under an outer trace
+    the jit simply inlines."""
     v = (jnp.arange(H, dtype=jnp.float32) + 0.5) / H
     u = (jnp.arange(W, dtype=jnp.float32) + 0.5) / W
     theta = jnp.pi * (0.5 - v)              # latitude, +pi/2 at top

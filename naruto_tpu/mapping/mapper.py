@@ -215,26 +215,34 @@ class Mapper:
             {"rot": "rot", "trans": "trans", "rot_c": "rot",
              "trans_c": "trans"})
 
-        key = jax.random.PRNGKey(cfg.general.seed)
-        key, k_init = jax.random.split(key)
-        params = init_field_params(k_init, self.spec)
-        self.state = MapperState(
-            params=params,
-            map_opt_state={
-                "embed": _init_embed_state(params["table"]),
-                "decoder": self.decoder_tx.init(
-                    {k: params[k] for k in DECODER_KEYS}),
-            },
-            uncert_opt_state=self.uncert_tx.init(
-                params.get("uncert_grid", jnp.zeros(()))),
-            uncert_accum=jnp.zeros_like(
-                params.get("uncert_grid", jnp.zeros(()))),
-            kf=init_keyframe_db(self.num_kf, self.rays_per_kf),
-            poses=jnp.tile(jnp.eye(4, dtype=jnp.float32),
-                           (num_frames + 1, 1, 1)),
-            uncert_vol=jnp.zeros(self.vol_shape, dtype=jnp.float32),
-        )
-        self._key = key
+        # single jitted init: building the state eagerly dispatches ~40
+        # tiny ops (RNG splits, per-group uniforms, zeros_like trees), and
+        # on the remote-execute backend each dispatch is a round trip —
+        # engine construction measured 10-15 min before this. One compiled
+        # program replaces them all (threefry is bit-exact under jit, so
+        # seeded tables are unchanged).
+        def _init_state(seed):
+            key = jax.random.PRNGKey(seed)
+            key, k_init = jax.random.split(key)
+            params = init_field_params(k_init, self.spec)
+            return key, MapperState(
+                params=params,
+                map_opt_state={
+                    "embed": _init_embed_state(params["table"]),
+                    "decoder": self.decoder_tx.init(
+                        {k: params[k] for k in DECODER_KEYS}),
+                },
+                uncert_opt_state=self.uncert_tx.init(
+                    params.get("uncert_grid", jnp.zeros(()))),
+                uncert_accum=jnp.zeros_like(
+                    params.get("uncert_grid", jnp.zeros(()))),
+                kf=init_keyframe_db(self.num_kf, self.rays_per_kf),
+                poses=jnp.tile(jnp.eye(4, dtype=jnp.float32),
+                               (num_frames + 1, 1, 1)),
+                uncert_vol=jnp.zeros(self.vol_shape, dtype=jnp.float32),
+            )
+
+        self._key, self.state = jax.jit(_init_state)(cfg.general.seed)
         self.step = 0
         self.result_dir: Optional[str] = None
 

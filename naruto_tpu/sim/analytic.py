@@ -36,19 +36,23 @@ def make_scene_sdf(bound: np.ndarray, preset: str = "box_room"):
     preset 'dynamic_room' adds a sphere orbiting the room center with phase
     `t` — the analytic counterpart of habitat's dynamic rigid objects
     (ref habitat_utils.py:342-426)."""
-    lo = jnp.asarray(bound[:, 0] + WALL_MARGIN)
-    hi = jnp.asarray(bound[:, 1] - WALL_MARGIN)
+    # scene constants in host numpy (np.float32 = the same IEEE ops the
+    # f32 device constants used, so GT numerics are bit-identical): eager
+    # jnp constants + float() pulls here cost ~25 device round trips per
+    # engine construction on the remote-execute backend
+    lo = np.asarray(bound[:, 0] + WALL_MARGIN, dtype=np.float32)
+    hi = np.asarray(bound[:, 1] - WALL_MARGIN, dtype=np.float32)
     center = (lo + hi) / 2.0
     size = hi - lo
 
     # interior primitives scaled to the room
-    s1_c = center + size * jnp.asarray([0.25, 0.2, -0.25])
-    s1_r = float(jnp.min(size)) * 0.12
-    s2_c = center + size * jnp.asarray([-0.25, -0.2, -0.15])
-    s2_r = float(jnp.min(size)) * 0.16
-    box_c = center + size * jnp.asarray([0.0, 0.28, -0.3])
-    box_h = size * jnp.asarray([0.10, 0.08, 0.12])
-    orbit_r = float(np.min(np.asarray(size))) * 0.25
+    s1_c = center + size * np.asarray([0.25, 0.2, -0.25], np.float32)
+    s1_r = float(np.min(size)) * 0.12
+    s2_c = center + size * np.asarray([-0.25, -0.2, -0.15], np.float32)
+    s2_r = float(np.min(size)) * 0.16
+    box_c = center + size * np.asarray([0.0, 0.28, -0.3], np.float32)
+    box_h = size * np.asarray([0.10, 0.08, 0.12], np.float32)
+    orbit_r = float(np.min(size)) * 0.25
 
     def sdf(p: jnp.ndarray, t: jnp.ndarray = 0.0) -> jnp.ndarray:
         room = jnp.min(jnp.minimum(p - lo, hi - p), axis=-1)

@@ -19,7 +19,12 @@ def enable_compilation_cache(path: str | None = None) -> None:
     os.makedirs(cache_dir, exist_ok=True)
     try:
         jax.config.update("jax_compilation_cache_dir", cache_dir)
-        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+        # 0.0: persist even sub-second executables. Engine construction
+        # dispatches ~70 tiny one-off ops (Mapper init 43, sim init 28);
+        # with the default 1.0s threshold none of them persist, and on the
+        # remote-compile path every process start re-pays ~70 compile
+        # round trips (~10-15 min before the results dir appears).
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
         jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
         # source locations embedded in the HLO make the cache key shift with
         # every unrelated code edit; strip them so entries survive edits
