@@ -244,6 +244,10 @@ class Mapper:
 
         self._key, self.state = jax.jit(_init_state)(cfg.general.seed)
         self.step = 0
+        # host mirror of state.kf.count (adds are host-scheduled, so the
+        # mirror is exact); bucket selection reads this instead of pulling
+        # the device scalar every mapping step
+        self._kf_count = 0
         self.result_dir: Optional[str] = None
 
         # data-parallel BA: rays sharded over the 'data' mesh axis (VERDICT
@@ -836,7 +840,15 @@ class Mapper:
         steps, else None — same contract as coslam.py:537-633."""
         m = self.cfg.mapper
         c2w = jnp.asarray(c2w, dtype=jnp.float32)
-        frame_rays = self.frame_to_rays(color, depth)
+        # lazy ray build: frames that neither map, track, nor enter the
+        # keyframe DB never need the [H*W, 7] ray storage — skipping it
+        # avoids a ~13 MB host->device frame transfer on 4/5 steps at
+        # map_every=keyframe_every=5 (the tunnel transfer was the largest
+        # per-frame cost on the remote backend)
+        need_rays = (i == 0 or self.track_enabled
+                     or i % m.map_every == 0 or i % m.keyframe_every == 0)
+        frame_rays = (self.frame_to_rays(color, depth) if need_rays
+                      else None)
         vols = None
 
         # periodic mesh snapshot (ref coslam.py:571-574)
@@ -852,6 +864,7 @@ class Mapper:
                                 self._next_key(),
                                 depth_trunc=self.lw.depth_trunc,
                                 filter_depth=m.filter_depth))
+            self._kf_count += 1
             vols = self.get_map_volumes()
         else:
             if self.track_enabled:
@@ -867,8 +880,9 @@ class Mapper:
             self.state = self.state._replace(
                 poses=self.state.poses.at[i].set(c2w))
             if i % m.map_every == 0:
-                kf_count = int(self.state.kf.count)
-                bucket = self._pick_bucket(kf_count)
+                # host mirror of kf.count: exact (adds are host-scheduled),
+                # and avoids a blocking device pull mid-step
+                bucket = self._pick_bucket(self._kf_count)
                 self.printer(f"Global BA (bucket={bucket})", i, "Mapper")
                 self.state = self._get_ba_jit(bucket)(
                     self.state, frame_rays, c2w, i, self._next_key())
@@ -879,6 +893,7 @@ class Mapper:
                                     self._next_key(),
                                     depth_trunc=self.lw.depth_trunc,
                                     filter_depth=m.filter_depth))
+                self._kf_count += 1
         return list(vols) if vols is not None else None
 
     # ----------------------------------------------------------- query API
@@ -977,3 +992,4 @@ class Mapper:
         self.step = int(blob.pop("__step__", 0))
         state = jax.tree_util.tree_map(jnp.asarray, blob)
         self.state = MapperState(**state)
+        self._kf_count = int(self.state.kf.count)
