@@ -127,9 +127,11 @@ class TrainingConfig:
     # random grid pairs per axis (cuts ~30k extra field points/iter)
     smooth_sample: int = 0
     # 1 = reference cadence (smoothness every BA iteration); k>1 = pay the
-    # regularizer rider only every k-th iteration with its weight scaled by
-    # k (same expected gradient; skipped iterations execute a smaller
-    # compiled branch). Default 1 for exact reference numerics.
+    # regularizer rider only every k-th iteration, scaled by
+    # iters/ceil(iters/k) so the TOTAL smoothness weight per BA call
+    # exactly matches the every-iteration baseline (skipped iterations
+    # execute a smaller compiled branch). Default 1 for exact reference
+    # numerics.
     smooth_every: int = 1
     n_samples_d: int = 32           # uniform samples near..far
     range_d: float = 0.1            # +- range around measured depth

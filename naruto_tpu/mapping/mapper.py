@@ -634,17 +634,21 @@ class Mapper:
                 else:
                     # smoothness cadence: pay the regularizer's field
                     # fwd+bwd rider (~30% of field points) only every
-                    # k-th iteration, scaled by k so the EXPECTED gradient
-                    # matches the every-iteration baseline. The skipped
-                    # branch compiles with the SMALLER static sort/render
-                    # shapes (extra lattice points absent), so TPU executes
-                    # the cheap graph on skipped iterations.
+                    # k-th iteration. The scale is iters/ceil(iters/k) —
+                    # the exact number of fired iterations per BA call —
+                    # so the TOTAL smoothness weight per call matches the
+                    # every-iteration baseline even when k does not divide
+                    # iters (k alone over-weights by up to +20% then). The
+                    # skipped branch compiles with the SMALLER static
+                    # sort/render shapes (extra lattice points absent), so
+                    # TPU executes the cheap graph on skipped iterations.
+                    n_fired = -(-m.iters // smooth_every)
                     ops = (st.params, ks[2], rays_o, rays_d, t_rgb, t_d,
                            mask)
                     grads = jax.lax.cond(
                         it % smooth_every == 0,
                         lambda a: self._grad_fn(
-                            *a, True, float(smooth_every)),
+                            *a, True, m.iters / n_fired),
                         lambda a: self._grad_fn(*a, False),
                         ops)
                 pose_grads = None

@@ -214,21 +214,16 @@ def pack_frac(frac: jnp.ndarray) -> jnp.ndarray:
 
 def corner_weights_from_packed(qf: jnp.ndarray) -> jnp.ndarray:
     """Packed frac [M] int32 -> trilinear corner weights [M, 8] float32 in
-    the encoding's corner order (c = cx*4 + cy*2 + cz)."""
+    the encoding's corner order (delegates to encoding._corner_weights so
+    the frac-carry backward can never desynchronize from the forward
+    blend's corner order)."""
+    from naruto_tpu.ops.encoding import _corner_weights
     mask = (1 << PACK_FRAC_BITS) - 1
     scale = float(mask)
     f = jnp.stack(
         [(qf >> (ax * PACK_FRAC_BITS)) & mask for ax in range(3)],
         axis=-1).astype(jnp.float32) / scale               # [M, 3]
-    w = []
-    for cx in (0, 1):
-        tx = f[:, 0] if cx else 1.0 - f[:, 0]
-        for cy in (0, 1):
-            ty = f[:, 1] if cy else 1.0 - f[:, 1]
-            for cz in (0, 1):
-                tz = f[:, 2] if cz else 1.0 - f[:, 2]
-                w.append(tx * ty * tz)
-    return jnp.stack(w, axis=-1)
+    return _corner_weights(f[:, None, :]).reshape(-1, 8)
 
 
 def dense_segment_sum_outer_level_major_frac(

@@ -14,6 +14,8 @@ REC=$(ls "$RUN_DIR"/Replica/*/mesh_*_final.ply "$RUN_DIR"/mesh_*_final.ply \
       2>/dev/null | head -1 || true)
 CKPT=$(ls "$RUN_DIR"/Replica/*/ckpt_*_final.pkl "$RUN_DIR"/ckpt_*_final.pkl \
       2>/dev/null | head -1 || true)
+: "${REC:?no final mesh under $RUN_DIR}"
+: "${CKPT:?no final checkpoint under $RUN_DIR}"
 
 python -m naruto_tpu.evaluate --rec "$REC" --gt "$GT" --ckpt "$CKPT" \
     --dataset "$DATASET" --scene "$SCENE" --cull \

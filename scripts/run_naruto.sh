@@ -25,7 +25,9 @@ for scene in "${SCENES[@]}"; do
     args=(--dataset NARUTO --scene "$scene" --seed "$seed"
           --result_dir "$result_dir" --sim "$SIM")
     if [ -n "$DATA_DIR" ]; then
-      mesh=$(ls "$DATA_DIR/$scene"/mesh.{ply,glb} 2>/dev/null | head -1)
+      mesh=$(ls "$DATA_DIR/$scene"/mesh.ply "$DATA_DIR/$scene"/mesh.glb \
+             2>/dev/null | head -1 || true)
+      : "${mesh:?no mesh.ply/.glb under $DATA_DIR/$scene}"
       args+=(--scene_path "$mesh")
     fi
     echo "=== NARUTO/$scene seed=$seed -> $result_dir"

@@ -114,5 +114,7 @@ def test_hybrid_layout_quality_guard_vs_vertex():
         gt_v, gt_f = _gt_mesh(sim)
         mads[layout] = eval_mad(mapper, gt_v, gt_f, n_samples=20_000)
     # deterministic runs: a genuine semantics break shows up as a large
-    # ratio; the r2 cell regression measured ~1.7x at full budget
-    assert mads["hybrid"] < mads["vertex"] * 1.5 + 0.5, mads
+    # ratio; the r2 cell regression measured ~1.7x at full budget, so the
+    # bound must sit below that (1.4x + a small absolute term for the
+    # short-schedule scale)
+    assert mads["hybrid"] < mads["vertex"] * 1.4 + 0.05, mads
