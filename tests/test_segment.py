@@ -118,6 +118,23 @@ class TestSegmentSum:
                                      np.asarray(fp).tolist()))
         assert cb == cf
 
+    def test_flat_sort_env_gate(self, rng, monkeypatch):
+        """NARUTO_FLAT_SORT=1 (the hardware A/B escape hatch) routes
+        _batched_sort through the single flat lax.sort — results must be
+        identical either way on the disjoint-range contract."""
+        from naruto_tpu.ops import segment
+        L, n = 4, 256
+        key = jnp.asarray(
+            (rng.integers(0, 50, (L, n)) + np.arange(L)[:, None] * 50)
+            .reshape(-1).astype(np.int32))
+        pay = jnp.asarray(rng.normal(size=L * n).astype(np.float32))
+        bk, bp = segment._batched_sort((key, pay), L)
+        monkeypatch.setenv("NARUTO_FLAT_SORT", "1")
+        fk, fp = segment._batched_sort((key, pay), L)
+        np.testing.assert_array_equal(np.asarray(bk), np.asarray(fk))
+        np.testing.assert_allclose(np.sort(np.asarray(bp)),
+                                   np.sort(np.asarray(fp)))
+
     def test_pack_frac_weight_roundtrip(self, rng):
         """corner_weights_from_packed(pack_frac(f)) reproduces the
         encoding's trilinear corner weights to the 10-bit resolution."""
