@@ -839,19 +839,30 @@ class Mapper:
         return _save(self, path, voxel_size=voxel_size, color_mode="uncert")
 
     # ------------------------------------------------------------ online API
+    def needs_frame(self, i: int) -> bool:
+        """True when step i consumes the RGB-D frame: first frame, tracking
+        enabled, a mapping step, or a keyframe step. Frames where this is
+        False are never read — the engine skips both the simulator render
+        and the host->device transfer for them (4/5 of steps at
+        map_every=keyframe_every=5)."""
+        m = self.cfg.mapper
+        return (i == 0 or self.track_enabled
+                or i % m.map_every == 0 or i % m.keyframe_every == 0)
+
     def online_recon_step(self, i: int, color, depth, c2w):
         """One mapping step. Returns [uncert_vol, sdf_vol] (numpy) on mapping
-        steps, else None — same contract as coslam.py:537-633."""
-        m = self.cfg.mapper
+        steps, else None — same contract as coslam.py:537-633.
+
+        color/depth may be None when needs_frame(i) is False (the frame is
+        not consumed on those steps)."""
         c2w = jnp.asarray(c2w, dtype=jnp.float32)
+        m = self.cfg.mapper
         # lazy ray build: frames that neither map, track, nor enter the
         # keyframe DB never need the [H*W, 7] ray storage — skipping it
         # avoids a ~13 MB host->device frame transfer on 4/5 steps at
         # map_every=keyframe_every=5 (the tunnel transfer was the largest
         # per-frame cost on the remote backend)
-        need_rays = (i == 0 or self.track_enabled
-                     or i % m.map_every == 0 or i % m.keyframe_every == 0)
-        frame_rays = (self.frame_to_rays(color, depth) if need_rays
+        frame_rays = (self.frame_to_rays(color, depth) if self.needs_frame(i)
                       else None)
         vols = None
 

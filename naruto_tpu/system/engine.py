@@ -120,6 +120,13 @@ class Engine:
             with self.timer.time("Simulation", "General"):
                 if prefetcher is not None:
                     color, depth = prefetcher.get(i)
+                elif (self.visualizer is None
+                        and not self.mapper.needs_frame(i)):
+                    # frame is consumed by nothing (no mapping, no keyframe,
+                    # no tracking, no visualizer): skip the render entirely
+                    # — simulate() is pure (object physics advances in
+                    # update_step above), so this changes no state
+                    color, depth = None, None
                 else:
                     color, depth = self.sim.simulate(c2w)[:2]
 

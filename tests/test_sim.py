@@ -149,6 +149,40 @@ class TestEngineSmoke:
         assert any(f.endswith("_final.pkl") for f in files)
 
 
+class TestFrameSkip:
+    def test_sim_render_skipped_on_unused_frames(self, tmp_path):
+        """Frames that neither map, keyframe, nor track are never rendered:
+        the engine consults mapper.needs_frame(i) and skips sim.simulate
+        entirely (the raycast backend pays ~0.7 s/frame on one core)."""
+        cfg = sim_cfg()
+        cfg = deep_update(cfg, {
+            "grid": {"n_levels": 4, "hash_size": 12, "voxel_sdf": 0.1},
+            "mapper": {"sample": 64, "iters": 2, "first_iters": 4,
+                       "min_pixels_cur": 4, "act_ray_num_uncert_sample": 8,
+                       "voxel_size": 0.25},
+            "training": {"n_samples_d": 8, "n_range_d": 5, "smooth_pts": 4},
+            "planner": {"gs_z_levels": [3, 4, 5]},
+            "general": {"result_dir": str(tmp_path)},
+        })
+        from naruto_tpu.system.engine import Engine
+
+        eng = Engine(cfg, quiet=True)
+        calls = []
+        orig = eng.sim.simulate
+        eng.sim.simulate = (
+            lambda c2w, **kw: (calls.append(1), orig(c2w, **kw))[1])
+        n = 12
+        eng.run(num_iter=n)
+        me, ke = cfg.mapper.map_every, cfg.mapper.keyframe_every
+        expected = sum(1 for i in range(n)
+                       if i == 0 or i % me == 0 or i % ke == 0)
+        assert len(calls) == expected
+        assert expected < n  # the skip actually fires
+        # and the run still mapped + keyframed normally
+        assert int(eng.mapper.state.kf.count) >= 2
+        assert eng.uncert_sdf is not None
+
+
 class TestDynamicScene:
     def test_dynamic_object_moves(self):
         cfg = deep_update(sim_cfg(), {"sim": {"analytic_scene":
