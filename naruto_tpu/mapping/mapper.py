@@ -147,9 +147,14 @@ class Mapper:
     """Host-facing mapper with the reference's online API
     (online_recon_step / save_ckpt / predict_sdf — coslam.py:537,494,519)."""
 
-    def __init__(self, cfg: MainConfig, printer: Optional[InfoPrinter] = None):
+    def __init__(self, cfg: MainConfig, printer: Optional[InfoPrinter] = None,
+                 timer=None):
         self.cfg = cfg
         self.printer = printer or InfoPrinter(quiet=True)
+        # optional utils.timer.Timer: records a per-stage breakdown of the
+        # online step (frame transfer / BA dispatch / volume pull / keyframe)
+        # under the [Mapper] group of the run's timing report
+        self.timer = timer
         m, t, c = cfg.mapper, cfg.training, cfg.cam
 
         self.spec = FieldSpec(
@@ -297,8 +302,25 @@ class Mapper:
 
     # ------------------------------------------------------- frame handling
     def frame_to_rays(self, color, depth) -> jnp.ndarray:
-        """[H,W,3] color in [0,1], [H,W] depth -> [H*W, 7] ray storage."""
-        color = jnp.asarray(color, dtype=jnp.float32).reshape(-1, 3)
+        """[H,W,3] color in [0,1] (or uint8 in [0,255]), [H,W] depth ->
+        [H*W, 7] ray storage.
+
+        Host-resident float color is quantized to uint8 for the
+        host->device hop (2.4 MB vs 9.8 MB at 680x1200 — the remote
+        tunnel's per-frame transfer dominated the raycast-backend step
+        time) and dequantized on device. Lossless vs the reference
+        pipeline: its datasets load uint8 images to begin with
+        (datasets/dataset.py cv2.imread / 255). Device-resident color
+        (the analytic sim renders straight into HBM) is passed through
+        untouched — quantizing it would force a device->host pull."""
+        if isinstance(color, np.ndarray):
+            if color.dtype != np.uint8:
+                color = (np.clip(color, 0.0, 1.0) * 255.0 + 0.5).astype(
+                    np.uint8)
+            color = jnp.asarray(color).reshape(-1, 3).astype(
+                jnp.float32) * (1.0 / 255.0)
+        else:
+            color = jnp.asarray(color, dtype=jnp.float32).reshape(-1, 3)
         depth = jnp.asarray(depth, dtype=jnp.float32).reshape(-1, 1)
         return jnp.concatenate([self.rays_d_cam, color, depth], axis=-1)
 
@@ -839,6 +861,13 @@ class Mapper:
         return _save(self, path, voxel_size=voxel_size, color_mode="uncert")
 
     # ------------------------------------------------------------ online API
+    def _t(self, name: str):
+        """Timer section under the [Mapper] group (no-op without a timer)."""
+        if self.timer is None:
+            import contextlib
+            return contextlib.nullcontext()
+        return self.timer.time(name, "Mapper")
+
     def needs_frame(self, i: int) -> bool:
         """True when step i consumes the RGB-D frame: first frame, tracking
         enabled, a mapping step, or a keyframe step. Frames where this is
@@ -862,18 +891,26 @@ class Mapper:
         # avoids a ~13 MB host->device frame transfer on 4/5 steps at
         # map_every=keyframe_every=5 (the tunnel transfer was the largest
         # per-frame cost on the remote backend)
-        frame_rays = (self.frame_to_rays(color, depth) if self.needs_frame(i)
-                      else None)
+        if self.needs_frame(i):
+            # includes the host->device transfer of the RGB-D frame; the
+            # upload itself is synchronous on the remote backend, so this
+            # section is an honest transfer cost
+            with self._t("frame_transfer"):
+                frame_rays = self.frame_to_rays(color, depth)
+        else:
+            frame_rays = None
         vols = None
 
         # periodic mesh snapshot (ref coslam.py:571-574)
         if self.result_dir is not None and i % self.cfg.mesh.vis_freq == 0:
-            self.save_mesh(i, voxel_size=self.cfg.mesh.voxel_eval)
+            with self._t("mesh_snapshot"):
+                self.save_mesh(i, voxel_size=self.cfg.mesh.voxel_eval)
 
         if i == 0:
             self.printer("First frame mapping...", i, "Mapper")
-            self.state = self._ff_jit(self.state, frame_rays, c2w,
-                                      self._next_key())
+            with self._t("first_frame"):
+                self.state = self._ff_jit(self.state, frame_rays, c2w,
+                                          self._next_key())
             self.state = self.state._replace(
                 kf=add_keyframe(self.state.kf, frame_rays, 0,
                                 self._next_key(),
@@ -899,15 +936,21 @@ class Mapper:
                 # and avoids a blocking device pull mid-step
                 bucket = self._pick_bucket(self._kf_count)
                 self.printer(f"Global BA (bucket={bucket})", i, "Mapper")
-                self.state = self._get_ba_jit(bucket)(
-                    self.state, frame_rays, c2w, i, self._next_key())
-                vols = self.get_map_volumes()
+                # async dispatch: "ba_dispatch" is enqueue time only; the
+                # device work is paid inside "volumes_pull", which blocks
+                # on the BA result before pulling the two volumes to host
+                with self._t("ba_dispatch"):
+                    self.state = self._get_ba_jit(bucket)(
+                        self.state, frame_rays, c2w, i, self._next_key())
+                with self._t("volumes_pull"):
+                    vols = self.get_map_volumes()
             if i % m.keyframe_every == 0:
-                self.state = self.state._replace(
-                    kf=add_keyframe(self.state.kf, frame_rays, i,
-                                    self._next_key(),
-                                    depth_trunc=self.lw.depth_trunc,
-                                    filter_depth=m.filter_depth))
+                with self._t("keyframe_add"):
+                    self.state = self.state._replace(
+                        kf=add_keyframe(self.state.kf, frame_rays, i,
+                                        self._next_key(),
+                                        depth_trunc=self.lw.depth_trunc,
+                                        filter_depth=m.filter_depth))
                 self._kf_count += 1
         return list(vols) if vols is not None else None
 

@@ -51,7 +51,7 @@ class Engine:
                 f"{cam_hw}; set both config sections to the same sensor "
                 f"size")
         self.sim = init_simulator(cfg, self.printer)
-        self.mapper = Mapper(cfg, self.printer)
+        self.mapper = Mapper(cfg, self.printer, timer=self.timer)
         self.planner = init_planner(cfg, self.printer)
         self.planner.update_sim(self.sim)
         self.planner.init_data(cfg.mapper.bound_np)

@@ -254,6 +254,38 @@ class TestMapperEndToEnd:
         np.testing.assert_allclose(before, after)
 
 
+class TestFrameTransfer:
+    def test_u8_quantized_upload_matches_f32(self):
+        """Host numpy color is quantized to uint8 for the host->device hop
+        and dequantized on device; the stored rays match the f32 path to
+        half a quantization step. Device-resident (jnp) color passes
+        through exactly."""
+        import jax.numpy as jnp
+
+        cfg = tiny_cfg()
+        mapper = Mapper(cfg)
+        H, W = cfg.cam.H, cfg.cam.W
+        rng = np.random.default_rng(0)
+        color = rng.random((H, W, 3), dtype=np.float32)
+        depth = rng.random((H, W), dtype=np.float32) + 0.5
+
+        rays_np = np.asarray(mapper.frame_to_rays(color, depth))
+        rays_dev = np.asarray(
+            mapper.frame_to_rays(jnp.asarray(color), depth))
+        # numpy path: quantized to 1/255 steps
+        assert np.abs(rays_np[:, 3:6] - color.reshape(-1, 3)).max() \
+            <= 0.5 / 255 + 1e-6
+        # device path: exact
+        np.testing.assert_array_equal(rays_dev[:, 3:6],
+                                      color.reshape(-1, 3))
+        # pre-quantized uint8 input is accepted directly
+        u8 = (np.clip(color, 0, 1) * 255 + 0.5).astype(np.uint8)
+        rays_u8 = np.asarray(mapper.frame_to_rays(u8, depth))
+        np.testing.assert_allclose(rays_u8, rays_np, atol=1e-7)
+        # depth column is never quantized
+        np.testing.assert_array_equal(rays_np[:, 6], depth.reshape(-1))
+
+
 class TestMapperVariants:
     def test_smooth_cadence_and_frac_carry_run(self):
         """smooth_every=2 (conditional regularizer rider) + the slim
