@@ -313,14 +313,13 @@ class Mapper:
         (datasets/dataset.py cv2.imread / 255). Device-resident color
         (the analytic sim renders straight into HBM) is passed through
         untouched — quantizing it would force a device->host pull."""
-        if isinstance(color, np.ndarray):
-            if color.dtype != np.uint8:
-                color = (np.clip(color, 0.0, 1.0) * 255.0 + 0.5).astype(
-                    np.uint8)
-            color = jnp.asarray(color).reshape(-1, 3).astype(
-                jnp.float32) * (1.0 / 255.0)
+        if isinstance(color, np.ndarray) and color.dtype != np.uint8:
+            color = (np.clip(color, 0.0, 1.0) * 255.0 + 0.5).astype(np.uint8)
+        color = jnp.asarray(color)
+        if color.dtype == jnp.uint8:
+            color = color.reshape(-1, 3).astype(jnp.float32) * (1.0 / 255.0)
         else:
-            color = jnp.asarray(color, dtype=jnp.float32).reshape(-1, 3)
+            color = color.astype(jnp.float32).reshape(-1, 3)
         depth = jnp.asarray(depth, dtype=jnp.float32).reshape(-1, 1)
         return jnp.concatenate([self.rays_d_cam, color, depth], axis=-1)
 
