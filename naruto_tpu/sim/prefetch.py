@@ -5,23 +5,44 @@ transfer. In ACTIVE mode the next pose depends on this step's planner output
 (SURVEY.md §5.2), so prefetch is impossible by dataflow; in PASSIVE mode
 (predefined trajectory — replay/raycast backends reading from host memory)
 the next frame's pose is known, so a worker thread loads and `device_put`s
-frame i+1 while the mapper trains on frame i. A full-resolution frame is
-~13 MB; the measured host->device cost (~180 ms) overlaps entirely with the
-~1.2 s mapping step.
+the next CONSUMED frame while the mapper trains on the current one. A
+full-resolution float32 frame is ~13 MB; the measured host->device cost
+(~180 ms) overlaps entirely with the ~1.2 s mapping step.
+
+Two transfer reductions mirror the active path (engine.py / mapper):
+  * frames nothing consumes (needs_fn(step) False — no mapping, keyframe,
+    tracking, or rgbd artifact) are never rendered or shipped;
+  * when a needs_fn is supplied (i.e. no visualizer wants raw float rgbd)
+    float color is quantized to uint8 for the hop (2.4 vs 9.8 MB at
+    680x1200) and dequantized by frame_to_rays on device — lossless vs the
+    reference pipeline, whose datasets load uint8 images to begin with.
+
+Worker-thread sim stepping is safe: simulate() is pure and update_step is
+monotonic+idempotent in every backend (raycast physics integrates exactly
+one tick per step index under a lock), so the prefetcher's early
+update_step(next) and the engine's own per-step call never double-advance.
 """
 from __future__ import annotations
 
 from concurrent.futures import ThreadPoolExecutor
-from typing import Callable, Tuple
+from typing import Callable, Optional, Tuple
 
 import numpy as np
 
 
 class FramePrefetcher:
-    def __init__(self, sim, pose_fn: Callable[[int], np.ndarray]):
-        """pose_fn(step) -> c2w for passive trajectories."""
+    def __init__(self, sim, pose_fn: Callable[[int], np.ndarray],
+                 needs_fn: Optional[Callable[[int], bool]] = None,
+                 horizon: Optional[int] = None):
+        """pose_fn(step) -> c2w for passive trajectories.
+        needs_fn(step) -> whether anything consumes the frame; None means
+        every frame is consumed (a visualizer saves raw rgbd).
+        horizon: number of steps in the run — no prefetch is issued at or
+        past it (pose_fn would be out of range)."""
         self.sim = sim
         self.pose_fn = pose_fn
+        self.needs = needs_fn
+        self.horizon = horizon
         self._pool = ThreadPoolExecutor(max_workers=1)
         self._next = None
         self._next_step = -1
@@ -31,17 +52,33 @@ class FramePrefetcher:
 
         self.sim.update_step(step)
         color, depth = self.sim.simulate(self.pose_fn(step))[:2]
+        color = np.asarray(color)
+        if self.needs is not None and color.dtype != np.uint8:
+            color = (np.clip(color, 0.0, 1.0) * 255.0 + 0.5).astype(np.uint8)
         # push to device asynchronously; jax transfers off-thread
-        return (jax.device_put(np.asarray(color)),
+        return (jax.device_put(color),
                 jax.device_put(np.asarray(depth)))
 
+    def _next_needed(self, step: int) -> int:
+        if self.needs is None:
+            return step
+        while not self.needs(step):
+            step += 1
+        return step
+
     def get(self, step: int) -> Tuple:
+        if self.needs is not None and not self.needs(step):
+            # no consumer: the pipeline already points at the next needed
+            # step (submitted when that frame's predecessor was consumed)
+            return None, None
         if self._next is not None and self._next_step == step:
             color, depth = self._next.result()
         else:
             color, depth = self._load(step)
-        self._next = self._pool.submit(self._load, step + 1)
-        self._next_step = step + 1
+        nxt = self._next_needed(step + 1)
+        if self.horizon is None or nxt < self.horizon:
+            self._next = self._pool.submit(self._load, nxt)
+            self._next_step = nxt
         return color, depth
 
     def close(self):

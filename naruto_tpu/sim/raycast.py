@@ -155,6 +155,9 @@ class RaycastSimulator(Simulator):
         # sim.physics_dt > 0 (the reference's offline scripted loop steps
         # 1/30 s per frame, habitat_utils.py:581)
         self._obj_states: list = []
+        self._physics_step = 0
+        import threading
+        self._phys_lock = threading.Lock()
         if cfg.sim.objects:
             self._spawn_objects(cfg.sim.objects)
             self.step_physics(1.0)
@@ -269,9 +272,18 @@ class RaycastSimulator(Simulator):
             self._set_pose_from_state(st)
 
     def update_step(self, step: int) -> None:
+        """Advance to step. Physics integrates exactly ONE physics_dt tick
+        per step INDEX (monotonic + idempotent): repeated or out-of-order
+        calls for already-reached steps are no-ops. This matters with the
+        passive-mode FramePrefetcher, whose worker thread calls
+        update_step(step+1) ahead of the engine's own per-step call —
+        per-call integration would double the physics rate."""
         super().update_step(step)
         if self._obj_states and self.cfg.sim.physics_dt > 0:
-            self.step_physics(self.cfg.sim.physics_dt)
+            with self._phys_lock:
+                while self._physics_step < step:
+                    self.step_physics(self.cfg.sim.physics_dt)
+                    self._physics_step += 1
 
     def __del__(self):
         if getattr(self, "_handle", None):

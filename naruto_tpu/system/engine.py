@@ -102,33 +102,47 @@ class Engine:
         # passive mode: frame i+1's pose is known -> double-buffered
         # host->HBM streaming (BASELINE north star; impossible in active
         # mode where the pose depends on this step's planner output)
+        # the raw frame has a consumer outside the mapper only when a
+        # visualizer saves/shows rgbd; everything else (poses, paths,
+        # meshes, state) is frame-independent
+        vis_needs_rgbd = (self.visualizer is not None
+                          and (cfg.vis.save_rgbd or cfg.vis.vis_rgbd))
         prefetcher = None
         if not cfg.enable_active_planning and self.pose_loader.traj:
             from naruto_tpu.sim.prefetch import FramePrefetcher
 
             prefetcher = FramePrefetcher(
-                self.sim, lambda s: self.pose_loader.traj[s])
+                self.sim, lambda s: self.pose_loader.traj[s],
+                needs_fn=(None if vis_needs_rgbd
+                          else self.mapper.needs_frame),
+                horizon=min(n, len(self.pose_loader.traj)))
 
         for i in range(n):
-            for mod in (self.sim, self.mapper, self.planner):
+            # with a prefetcher the worker thread owns sim stepping (it
+            # calls update_step ahead of the engine; stepping here too
+            # would race the analytic sim's phase)
+            mods = ((self.mapper, self.planner) if prefetcher is not None
+                    else (self.sim, self.mapper, self.planner))
+            for mod in mods:
                 mod.update_step(i)
             if self.visualizer is not None:
                 self.visualizer.update_step(i)
 
             c2w = self.pose_loader.update_pose(c2w, i)
 
-            with self.timer.time("Simulation", "General"):
-                if prefetcher is not None:
+            if prefetcher is not None:
+                with self.timer.time("Simulation", "General"):
                     color, depth = prefetcher.get(i)
-                elif (self.visualizer is None
-                        and not self.mapper.needs_frame(i)):
-                    # frame is consumed by nothing (no mapping, no keyframe,
-                    # no tracking, no visualizer): skip the render entirely
-                    # — simulate() is pure (object physics advances in
-                    # update_step above), so this changes no state
-                    color, depth = None, None
-                else:
+            elif vis_needs_rgbd or self.mapper.needs_frame(i):
+                with self.timer.time("Simulation", "General"):
                     color, depth = self.sim.simulate(c2w)[:2]
+            else:
+                # frame is consumed by nothing (no mapping, no keyframe,
+                # no tracking, no rgbd artifact): skip the render entirely
+                # — simulate() is pure (object physics advances in
+                # update_step above), so this changes no state. Untimed so
+                # the Simulation median/mean reflect real renders only.
+                color, depth = None, None
 
             with self.timer.time("SLAM", "General"):
                 new_vols = self.mapper.online_recon_step(

@@ -121,19 +121,39 @@ class TestSegmentSum:
     def test_flat_sort_env_gate(self, rng, monkeypatch):
         """NARUTO_FLAT_SORT=1 (the hardware A/B escape hatch) routes
         _batched_sort through the single flat lax.sort — results must be
-        identical either way on the disjoint-range contract."""
+        identical either way on the disjoint-range contract, and the two
+        calls must actually take DIFFERENT routes (a silently broken gate
+        would bench the same graph twice in the hardware A/B)."""
+        import jax as jax_mod
+
         from naruto_tpu.ops import segment
+        # the hardware queue exports this; a leaked value would silently
+        # collapse both calls onto the flat path
+        monkeypatch.delenv("NARUTO_FLAT_SORT", raising=False)
         L, n = 4, 256
+        # unique keys per level -> a unique sorted order, so the payload
+        # comparison below is exact equality, not a vacuous multiset check
+        perm = np.stack([rng.permutation(n) for _ in range(L)])
         key = jnp.asarray(
-            (rng.integers(0, 50, (L, n)) + np.arange(L)[:, None] * 50)
-            .reshape(-1).astype(np.int32))
+            (perm + np.arange(L)[:, None] * n).reshape(-1).astype(np.int32))
         pay = jnp.asarray(rng.normal(size=L * n).astype(np.float32))
+
+        routes = []
+        real_sort = jax_mod.lax.sort
+
+        def recording_sort(ops, **kw):
+            routes.append((np.shape(ops[0]), kw.get("dimension")))
+            return real_sort(ops, **kw)
+
+        monkeypatch.setattr(segment.jax.lax, "sort", recording_sort)
         bk, bp = segment._batched_sort((key, pay), L)
         monkeypatch.setenv("NARUTO_FLAT_SORT", "1")
         fk, fp = segment._batched_sort((key, pay), L)
+
+        assert routes[0] == ((L, n), 1)        # batched: [L, n] along dim 1
+        assert routes[1][0] == (L * n,)        # gated: one flat [M] sort
         np.testing.assert_array_equal(np.asarray(bk), np.asarray(fk))
-        np.testing.assert_allclose(np.sort(np.asarray(bp)),
-                                   np.sort(np.asarray(fp)))
+        np.testing.assert_array_equal(np.asarray(bp), np.asarray(fp))
 
     def test_pack_frac_weight_roundtrip(self, rng):
         """corner_weights_from_packed(pack_frac(f)) reproduces the

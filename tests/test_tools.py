@@ -238,7 +238,18 @@ class TestPassivePrefetch:
         from naruto_tpu.system.engine import Engine
 
         eng = Engine(cfg2, quiet=True)
+        calls = []
+        orig = eng.sim.simulate
+        eng.sim.simulate = (
+            lambda c2w, **kw: (calls.append(1), orig(c2w, **kw))[1])
         final = eng.run()
         # passive: final pose equals the trajectory's last pose
         np.testing.assert_allclose(final, poses[7], atol=1e-5)
         assert int(eng.mapper.state.kf.count) >= 2
+        # without a visualizer the prefetcher renders only consumed frames
+        # (mapping/keyframe cadence + one lookahead past the horizon)
+        me, ke = cfg2.mapper.map_every, cfg2.mapper.keyframe_every
+        needed = sum(1 for i in range(8)
+                     if i == 0 or i % me == 0 or i % ke == 0)
+        assert len(calls) <= needed + 1
+        assert len(calls) < 8
