@@ -161,6 +161,29 @@ class TestDynamicObjects:
         _, depth = sim.simulate(np.eye(4, dtype=np.float32))
         assert depth[20, 30] > 2.5
 
+    def test_update_step_exactly_once_per_index(self):
+        """update_step integrates exactly one physics tick per step INDEX
+        (monotonic + idempotent): repeated calls are no-ops and a
+        prefetch-ahead call covers the intermediate indices. Guards the
+        passive-prefetch double-advance bug (the worker thread and the
+        engine both called update_step per step, doubling the physics
+        rate)."""
+        sim = self._make_sim([{"template": "sphere:0.3",
+                               "location": [0, 0, 1.5],
+                               "velocity": [0.5, 0, 0]}],
+                             physics_dt=0.2)
+        x0 = float(sim._obj_states[0]["pos"][0])    # post-settle
+        sim.update_step(3)                          # jump: ticks 1..3
+        x3 = float(sim._obj_states[0]["pos"][0])
+        np.testing.assert_allclose(x3 - x0, 3 * 0.2 * 0.5, atol=1e-5)
+        for i in (1, 2, 3, 3):                      # replays: all no-ops
+            sim.update_step(i)
+        np.testing.assert_allclose(
+            float(sim._obj_states[0]["pos"][0]), x3, atol=1e-7)
+        sim.update_step(4)                          # next index: one tick
+        np.testing.assert_allclose(
+            float(sim._obj_states[0]["pos"][0]) - x3, 0.1, atol=1e-5)
+
     def test_gravity_no_tunneling_per_frame(self):
         """Per-frame stepping (the reference's 1/30 s cadence): the contact
         check must include the ACCUMULATED fall velocity's displacement —
