@@ -183,6 +183,71 @@ class TestFrameSkip:
         assert eng.uncert_sdf is not None
 
 
+class TestVisualizerArtifacts:
+    def _cfg(self, tmp_path, vis_over):
+        cfg = sim_cfg()
+        return deep_update(cfg, {
+            "grid": {"n_levels": 4, "hash_size": 12, "voxel_sdf": 0.1},
+            "mapper": {"sample": 64, "iters": 2, "first_iters": 4,
+                       "min_pixels_cur": 4, "act_ray_num_uncert_sample": 8,
+                       "voxel_size": 0.25},
+            "training": {"n_samples_d": 8, "n_range_d": 5, "smooth_pts": 4},
+            "planner": {"gs_z_levels": [3, 4, 5]},
+            "general": {"result_dir": str(tmp_path)},
+            "vis": {"enable_all_vis": True, "save_mesh_freq": 100,
+                    **vis_over},
+        })
+
+    def test_artifact_contract(self, tmp_path):
+        """ArtifactSaver writes the reference directory contract (rgbd /
+        pose / planning_path / lookat_tgts / state + manifest), and with
+        save_rgbd on, every frame is rendered (no skip)."""
+        import os
+
+        from naruto_tpu.system.engine import Engine
+
+        cfg = self._cfg(tmp_path, {"save_rgbd": True})
+        eng = Engine(cfg, quiet=True)
+        calls = []
+        orig = eng.sim.simulate
+        eng.sim.simulate = (
+            lambda c2w, **kw: (calls.append(1), orig(c2w, **kw))[1])
+        eng.run(num_iter=7)
+        assert len(calls) == 7  # rgbd artifact consumes every frame
+        root = os.path.join(str(tmp_path), cfg.general.dataset,
+                            cfg.general.scene, "visualization")
+        assert open(os.path.join(root, "README.txt")).read().startswith(
+            "NARUTO-TPU")
+        for sub, ext in (("rgbd", "png"), ("pose", "npy"),
+                         ("planning_path", "npy"), ("lookat_tgts", "npy"),
+                         ("state", "txt")):
+            files = os.listdir(os.path.join(root, sub))
+            assert len(files) == 7, (sub, files)
+        pose0 = np.load(os.path.join(root, "pose", "0000.npy"))
+        assert pose0.shape == (4, 4)
+        # rgbd png is a real image (PNG magic)
+        with open(os.path.join(root, "rgbd", "0000.png"), "rb") as f:
+            assert f.read(8) == b"\x89PNG\r\n\x1a\n"
+
+    def test_skip_applies_without_rgbd_artifact(self, tmp_path):
+        """With a visualizer attached but save_rgbd off, unconsumed frames
+        still skip the render (poses/paths/state artifacts are
+        frame-independent)."""
+        from naruto_tpu.system.engine import Engine
+
+        cfg = self._cfg(tmp_path, {"save_rgbd": False})
+        eng = Engine(cfg, quiet=True)
+        calls = []
+        orig = eng.sim.simulate
+        eng.sim.simulate = (
+            lambda c2w, **kw: (calls.append(1), orig(c2w, **kw))[1])
+        eng.run(num_iter=7)
+        me, ke = cfg.mapper.map_every, cfg.mapper.keyframe_every
+        expected = sum(1 for i in range(7)
+                       if i == 0 or i % me == 0 or i % ke == 0)
+        assert len(calls) == expected < 7
+
+
 class TestDynamicScene:
     def test_dynamic_object_moves(self):
         cfg = deep_update(sim_cfg(), {"sim": {"analytic_scene":
