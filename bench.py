@@ -23,12 +23,45 @@ import numpy as np
 BASELINE_ITERS_PER_SEC = 100.0  # RTX 3090 estimate (see module docstring)
 
 
+def _acquire_device_or_die(timeout_s: float) -> None:
+    """Device acquisition watchdog. jax.devices() on the axon backend can
+    block INDEFINITELY when the remote TPU service is wedged or another
+    client holds the single-client claim (observed: 8+ h outage,
+    2026-08-18). Normal acquisition takes seconds — nothing like a
+    compile — so a generous timeout cleanly separates 'service down'
+    from 'slow run', and an honest error JSON beats a silent hang."""
+    import os
+    import threading
+
+    import jax
+
+    done = threading.Event()
+
+    def probe():
+        jax.devices()
+        done.set()
+
+    t = threading.Thread(target=probe, daemon=True)
+    t.start()
+    if done.wait(timeout=float(
+            os.environ.get("NARUTO_BENCH_DEVICE_TIMEOUT", timeout_s))):
+        return
+    print(json.dumps({
+        "metric": "mapping_iters_per_sec", "value": 0.0, "unit": "iters/s",
+        "vs_baseline": 0.0,
+        "error": "device acquisition timed out (TPU service unreachable "
+                 "or claimed by another client); no measurement taken",
+    }))
+    os._exit(0)  # the probe thread is stuck inside the backend; hard-exit
+
+
 def main() -> None:
     import jax
     import jax.numpy as jnp
 
     from naruto_tpu.utils.cache import enable_compilation_cache
 
+    _acquire_device_or_die(1800.0)
     enable_compilation_cache()
 
     import os

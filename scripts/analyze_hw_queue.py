@@ -37,7 +37,11 @@ def parse(path: str):
                     rec = json.loads(line)
                 except json.JSONDecodeError:
                     continue
-                rows.append((label or "?", rec))
+                if "error" in rec or not rec.get("value"):
+                    print(f"skipping error row under {label!r}: "
+                          f"{rec.get('error', 'zero value')}")
+                else:
+                    rows.append((label or "?", rec))
                 label = None
     return rows
 
