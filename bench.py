@@ -118,7 +118,7 @@ def main() -> None:
     # per-step pull would add a full host<->device round trip (~9 ms/iter
     # measured through the tunnel, 23% of the budget) that the async
     # dispatch otherwise overlaps with device execution.
-    n_steps = 20
+    n_steps = int(os.environ.get("NARUTO_BENCH_STEPS", "20"))
     t0 = time.perf_counter()
     for i in range(n_steps):
         mapper.state = ba(mapper.state, frame_rays, jnp.asarray(c2w),
