@@ -180,8 +180,8 @@ class Mapper:
         )
         self.rc = RenderConfig(
             near=c.near, far=c.far, n_range_d=t.n_range_d, range_d=t.range_d,
-            n_samples_d=t.n_samples_d, perturb=t.perturb, trunc=t.trunc,
-            sc_factor=t.sc_factor)
+            n_samples_d=t.n_samples_d, n_importance=t.n_importance,
+            perturb=t.perturb, trunc=t.trunc, sc_factor=t.sc_factor)
         self.lw = LossWeights(
             rgb=t.rgb_weight, depth=t.depth_weight, sdf=t.sdf_weight,
             fs=t.fs_weight, uncert=t.uncert_weight, smooth=t.smooth_weight,

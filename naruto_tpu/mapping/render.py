@@ -28,6 +28,7 @@ class RenderConfig(NamedTuple):
     n_range_d: int = 11
     range_d: float = 0.1
     n_samples_d: int = 32
+    n_importance: int = 0
     perturb: float = 1.0
     trunc: float = 0.1
     sc_factor: float = 1.0
@@ -84,6 +85,46 @@ def sample_z_vals(key, target_d: jnp.ndarray, rc: RenderConfig,
     return z_vals
 
 
+def sample_pdf(key, bins: jnp.ndarray, weights: jnp.ndarray,
+               n_importance: int, det: bool = False) -> jnp.ndarray:
+    """Inverse-CDF sampling of the piecewise-constant PDF over bins — the
+    standard NeRF `sample_pdf` the reference imports from Co-SLAM's utils
+    and calls in its importance path (scene_rep.py:197 with bins =
+    z_vals midpoints [N, S-1], weights = weights[:, 1:-1] [N, S-2]).
+
+    Returns [N, n_importance] new z samples. +1e-5 on weights prevents a
+    zero PDF; det=True uses evenly spaced u (the reference passes
+    det=(perturb == 0)). The rank search is a dense [N, n_imp, S-1]
+    comparison-sum instead of searchsorted: these arrays are tiny (tens of
+    bins) and n_importance=0 in every shipped config, so this is contract
+    coverage, not a hot path.
+    """
+    weights = weights + 1e-5
+    pdf = weights / jnp.sum(weights, axis=-1, keepdims=True)
+    cdf = jnp.cumsum(pdf, axis=-1)
+    cdf = jnp.concatenate(
+        [jnp.zeros_like(cdf[..., :1]), cdf], axis=-1)          # [N, S-1]
+    n = cdf.shape[0]
+    if det:
+        u = jnp.broadcast_to(
+            jnp.linspace(0.0, 1.0, n_importance, dtype=cdf.dtype),
+            (n, n_importance))
+    else:
+        u = jax.random.uniform(key, (n, n_importance), dtype=cdf.dtype)
+    # searchsorted(cdf, u, right=True) == #(cdf <= u)
+    inds = jnp.sum((cdf[:, None, :] <= u[:, :, None]), axis=-1)
+    below = jnp.maximum(inds - 1, 0)
+    above = jnp.minimum(inds, cdf.shape[-1] - 1)
+    cdf_below = jnp.take_along_axis(cdf, below, axis=-1)
+    cdf_above = jnp.take_along_axis(cdf, above, axis=-1)
+    bins_below = jnp.take_along_axis(bins, below, axis=-1)
+    bins_above = jnp.take_along_axis(bins, above, axis=-1)
+    denom = cdf_above - cdf_below
+    denom = jnp.where(denom < 1e-5, jnp.ones_like(denom), denom)
+    t = (u - cdf_below) / denom
+    return bins_below + t * (bins_above - bins_below)
+
+
 def sdf2weights(sdf: jnp.ndarray, z_vals: jnp.ndarray,
                 rc: RenderConfig) -> jnp.ndarray:
     """sdf, z_vals: [N, S] -> normalized weights [N, S]."""
@@ -127,24 +168,58 @@ def render_rays(params, spec: FieldSpec, rc: RenderConfig, key,
     else:
         raw = field_query(params, x01, spec).reshape(n, s, 5)
 
-    rgb = jax.nn.sigmoid(raw[..., :3])
-    sdf = raw[..., 3]
-    weights = sdf2weights(sdf, z_vals, rc)                    # [N, S]
-    rgb_map = jnp.sum(weights[..., None] * rgb, axis=-2)      # [N, 3]
-    depth_map = jnp.sum(weights * z_vals, axis=-1)            # [N]
-    depth_var = jnp.sum(
-        weights * jnp.square(z_vals - depth_map[:, None]), axis=-1)
-    acc_map = jnp.sum(weights, axis=-1)
-    disp_map = 1.0 / jnp.maximum(1e-10, depth_map / (acc_map + 1e-10))
+    def _outputs(raw, z_vals):
+        """raw2outputs (scene_rep.py:66-96): maps from one field pass."""
+        rgb = jax.nn.sigmoid(raw[..., :3])
+        sdf = raw[..., 3]
+        weights = sdf2weights(sdf, z_vals, rc)                # [N, S]
+        rgb_map = jnp.sum(weights[..., None] * rgb, axis=-2)  # [N, 3]
+        depth_map = jnp.sum(weights * z_vals, axis=-1)        # [N]
+        depth_var = jnp.sum(
+            weights * jnp.square(z_vals - depth_map[:, None]), axis=-1)
+        acc_map = jnp.sum(weights, axis=-1)
+        disp_map = 1.0 / jnp.maximum(1e-10, depth_map / (acc_map + 1e-10))
+        out = {
+            "rgb": rgb_map, "depth": depth_map, "depth_var": depth_var,
+            "acc": acc_map, "disp": disp_map, "z_vals": z_vals,
+            "sdf": sdf, "weights": weights,
+        }
+        if spec.has_uncert:
+            # min uncertainty 0.01
+            uncert = jax.nn.softplus(raw[..., 4]) + 0.01
+            out["uncert_map"] = jnp.sum(weights * weights * uncert, axis=-1)
+        return out
 
-    out = {
-        "rgb": rgb_map, "depth": depth_map, "depth_var": depth_var,
-        "acc": acc_map, "disp": disp_map, "z_vals": z_vals,
-        "sdf": sdf, "weights": weights,
-    }
-    if spec.has_uncert:
-        uncert = jax.nn.softplus(raw[..., 4]) + 0.01   # min uncertainty 0.01
-        out["uncert_map"] = jnp.sum(weights * weights * uncert, axis=-1)
+    out = _outputs(raw, z_vals)
+
+    if rc.n_importance > 0:
+        # Importance resampling (scene_rep.py:192-211): draw n_importance
+        # extra z values from the first pass's weight PDF, merge, and
+        # re-render; first-pass maps are returned with a `0` suffix. (The
+        # reference's importance branch unpacks raw2outputs without the
+        # uncertainty map and would crash with uncert enabled — NARUTO
+        # ships n_importance=0 everywhere; here the final pass recomputes
+        # uncert_map so both features compose.)
+        coarse = out
+        z_mid = 0.5 * (z_vals[:, 1:] + z_vals[:, :-1])
+        # sample_z_vals consumed `key` for the stratified perturb;
+        # fold_in gives the importance draw an independent stream.
+        z_samples = sample_pdf(jax.random.fold_in(key, 1), z_mid,
+                               coarse["weights"][:, 1:-1],
+                               rc.n_importance, det=(rc.perturb == 0.0))
+        z_samples = jax.lax.stop_gradient(z_samples)
+        z_all = jnp.sort(
+            jnp.concatenate([z_vals, z_samples], axis=-1), axis=-1)
+        s_all = s + rc.n_importance
+        pts = (rays_o[:, None, :]
+               + rays_d[:, None, :] * z_all[..., None])
+        x01 = normalize_world(pts.reshape(-1, 3), spec)
+        raw = field_query(params, x01, spec).reshape(n, s_all, 5)
+        out = _outputs(raw, z_all)
+        for k in ("rgb", "depth", "depth_var", "acc", "disp"):
+            out[k + "0"] = coarse[k]
+        out["z_std"] = jnp.std(z_samples, axis=-1)
+
     if extra_embed is not None:
         out["extra_embed"] = extra_embed
     return out

@@ -154,6 +154,93 @@ class TestLosses:
         np.testing.assert_allclose(float(l1), float(l2), rtol=2e-5)
 
 
+class TestImportanceSampling:
+    """sample_pdf + the n_importance render path (reference
+    scene_rep.py:192-211; shipped configs all use n_importance=0)."""
+
+    def test_sample_pdf_golden(self):
+        """Hand-computed inverse-CDF case: bins [1,2,3], weights [1,3]
+        -> pdf [.25,.75], cdf [0,.25,1]; det u = [0,.25,.5,.75,1]
+        -> samples [1, 2, 2+1/3, 2+2/3, 3]."""
+        from naruto_tpu.mapping.render import sample_pdf
+
+        bins = jnp.array([[1.0, 2.0, 3.0]])
+        w = jnp.array([[1.0, 3.0]])
+        s = sample_pdf(jax.random.PRNGKey(0), bins, w, 5, det=True)
+        np.testing.assert_allclose(
+            np.asarray(s[0]),
+            [1.0, 2.0, 2.0 + 1 / 3, 2.0 + 2 / 3, 3.0], atol=2e-4)
+
+    def test_sample_pdf_concentrates_mass(self):
+        """Random draws land in the heavy bin and inside the bin range."""
+        from naruto_tpu.mapping.render import sample_pdf
+
+        bins = jnp.broadcast_to(jnp.linspace(0.0, 1.0, 9), (4, 9))
+        w = jnp.zeros((4, 8)).at[:, 3].set(100.0)  # mass in [3/8, 4/8]
+        s = sample_pdf(jax.random.PRNGKey(1), bins, w, 64, det=False)
+        assert float(jnp.min(s)) >= 0.0 and float(jnp.max(s)) <= 1.0
+        frac_in_bin = float(jnp.mean((s >= 3 / 8) & (s <= 4 / 8)))
+        assert frac_in_bin > 0.95
+
+    def test_render_importance_path(self):
+        """n_importance>0 returns coarse `0`-suffixed maps, z_std, and a
+        final pass with S + n_importance sorted samples."""
+        from naruto_tpu.mapping.render import render_rays
+
+        spec = tiny_spec()
+        params = init_field_params(jax.random.PRNGKey(0), spec)
+        rc = RenderConfig(n_range_d=5, n_samples_d=8, n_importance=4,
+                          perturb=1.0)
+        n = 8
+        rays_o = jnp.zeros((n, 3))
+        rays_d = jnp.concatenate(
+            [jnp.zeros((n, 2)), jnp.ones((n, 1))], axis=-1)
+        d = jnp.full((n, 1), 1.0)
+        rend = render_rays(params, spec, rc, jax.random.PRNGKey(7),
+                           rays_o, rays_d, d)
+        s_all = rc.n_samples + rc.n_importance
+        assert rend["z_vals"].shape == (n, s_all)
+        assert rend["sdf"].shape == (n, s_all)
+        assert rend["weights"].shape == (n, s_all)
+        # final z_vals sorted and containing the coarse pass's range
+        z = np.asarray(rend["z_vals"])
+        assert (np.diff(z, axis=-1) >= 0).all()
+        for k in ("rgb0", "depth0", "depth_var0", "acc0", "disp0"):
+            assert k in rend
+        assert rend["z_std"].shape == (n,)
+        assert rend["rgb"].shape == (n, 3)
+        assert "uncert_map" in rend  # composes with uncertainty (ref
+        # importance branch would crash with uncert on; see render.py)
+
+    def test_importance_losses_finite_and_grad(self):
+        """The n_importance path must be differentiable end-to-end."""
+        from naruto_tpu.mapping.render import render_rays
+
+        spec = tiny_spec()
+        params = init_field_params(jax.random.PRNGKey(0), spec)
+        rc = RenderConfig(n_range_d=5, n_samples_d=8, n_importance=4)
+        lw = LossWeights(smooth=0.0)
+        n = 8
+        rays_o = jnp.zeros((n, 3))
+        rays_d = jnp.concatenate(
+            [jnp.zeros((n, 2)), jnp.ones((n, 1))], axis=-1)
+        d = jnp.full((n, 1), 1.0)
+        rgb = jnp.full((n, 3), 0.5)
+
+        def loss_fn(p):
+            rend = render_rays(p, spec, rc, jax.random.PRNGKey(7),
+                               rays_o, rays_d, d)
+            l, _ = total_loss(p, spec, rend, rgb, d, jnp.ones((n,)),
+                              jax.random.PRNGKey(8), lw, with_smooth=False)
+            return l
+
+        loss, grads = jax.value_and_grad(loss_fn)(params)
+        assert np.isfinite(float(loss))
+        gleaves = jax.tree_util.tree_leaves(grads)
+        assert all(np.isfinite(np.asarray(g)).all() for g in gleaves)
+        assert any(float(jnp.abs(g).max()) > 0 for g in gleaves)
+
+
 class TestKeyframes:
     def test_add_and_sample(self):
         db = init_keyframe_db(4, 16)
