@@ -83,12 +83,13 @@ class GridConfig:
     # "vertex" (or load configs/parity.yaml) for exact tcnn semantics on
     # every level. Quality A/B in PERFORMANCE.md.
     layout: str = "hybrid"
-    # cell/hybrid gradient sort payload: "weights" (exact-to-bf16 corner
-    # weights, 4 packed columns) | "frac" (one 3x10-bit packed-frac column,
-    # weights recomputed post-sort; ~33% slimmer sort at <=0.3% weight
-    # quantization — see ops/segment.pack_frac). Default stays "weights"
-    # until the frac path shows a measured win (bench each solo).
-    sort_carry: str = "weights"
+    # cell/hybrid gradient sort payload: "frac" (one 3x10-bit packed-frac
+    # column, weights recomputed post-sort; ~33% slimmer sort at <=0.3%
+    # weight quantization — the same order as the "weights" path's bf16
+    # rounding; see ops/segment.pack_frac) | "weights" (exact-to-bf16
+    # corner weights, 4 packed columns). Default "frac" per the r4
+    # bracketed A/B: 47.8 vs 43.2 it/s (+10.5%, results/r4_hw_queue.log).
+    sort_carry: str = "frac"
     base_resolution: int = 16
     voxel_sdf: float = 0.02         # finest resolution = max bbox len / this
     voxel_color: float = 0.08
@@ -250,6 +251,16 @@ class PlannerConfig:
 class SimConfig:
     method: str = "analytic"    # analytic | replay | raycast
     scene_path: str = ""        # mesh file (raycast) or frames dir (replay)
+    # habitat stage_config.json (MP3D ships one per scene, e.g.
+    # configs/MP3D/gZ6f7yhEvPG/mp3d.stage_config.json): resolves
+    # render_asset relative to the json and applies its up/front
+    # orientation, so real MP3D assets work untouched. Overrides
+    # scene_path when set.
+    stage_config: str = ""
+    # explicit stage orientation (habitat semantics: rotate so up -> +Y,
+    # front -> -Z); None = identity / take from stage_config
+    stage_up: Optional[List[float]] = None
+    stage_front: Optional[List[float]] = None
     # pinhole sensor — ref: configs/Replica/office0/habitat.py camera section
     pinhole_hw: Tuple[int, int] = (680, 1200)
     focal: float = 600.0

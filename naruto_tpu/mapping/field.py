@@ -49,8 +49,8 @@ class FieldSpec:
     # "vertex" (exact tcnn) | "cell" (fast) | "hybrid" (fast + shared
     # vertices on dense levels) — see ops/encoding.HashGridSpec.layout
     table_layout: str = "vertex"
-    # backward sort payload: "weights" | "frac" (HashGridSpec.sort_carry)
-    sort_carry: str = "weights"
+    # backward sort payload: "frac" | "weights" (HashGridSpec.sort_carry)
+    sort_carry: str = "frac"
     voxel_sdf: float = 0.02
     pos_n_bins: int = 16
     geo_feat_dim: int = 15

@@ -74,10 +74,14 @@ EMBED_B1, EMBED_B2, EMBED_EPS = 0.9, 0.99, 1e-15
 
 class EmbedAdamState(NamedTuple):
     """Adam state for the hash-table ("embeddings") parameter group —
-    hand-rolled so the ~13M-param table update can run as ONE fused Pallas
-    HBM pass on TPU (ops/pallas_kernels.fused_adam) instead of optax's
-    multi-sweep chain. Math matches Adam(lr_embed, betas=(0.9, 0.99),
-    eps=1e-15) — ref create_optimizer, coslam.py:413-417."""
+    hand-rolled as one fusable elementwise expression instead of optax's
+    multi-sweep chain (measured 2.2 ms/iter at the 29.5 it/s era). A
+    Pallas fused_adam kernel existed through r3 but the plain XLA form
+    measured FASTER on the r4 bracketed A/B (45.4 vs 43.2 it/s,
+    results/r4_hw_queue.log — XLA fuses the whole update into one HBM
+    pass by itself), so the kernel was deleted per default-on-or-gone.
+    Math matches Adam(lr_embed, betas=(0.9, 0.99), eps=1e-15) — ref
+    create_optimizer, coslam.py:413-417."""
     count: jnp.ndarray
     mu: Dict
     nu: Dict
@@ -101,20 +105,13 @@ def _init_embed_state(table) -> EmbedAdamState:
 
 
 def _embed_adam_update(table, grads, st: EmbedAdamState, lr: float):
-    """One Adam step on the table pytree; Pallas-fused per leaf on TPU."""
-    from naruto_tpu.ops.pallas_kernels import (fused_adam,
-                                               fused_adam_supported)
-
+    """One Adam step on the table pytree; XLA fuses it into one HBM pass."""
     count = st.count + 1
     t = count.astype(jnp.float32)
     bc = jnp.stack([1.0 / (1.0 - EMBED_B1 ** t),
                     1.0 / (1.0 - EMBED_B2 ** t)]).reshape(2, 1)
-    use_pallas = fused_adam_supported()
 
     def leaf(p, m, v, g):
-        if use_pallas:
-            return fused_adam(p, m, v, g, bc, lr=lr, b1=EMBED_B1,
-                              b2=EMBED_B2, eps=EMBED_EPS)
         m2 = EMBED_B1 * m + (1.0 - EMBED_B1) * g
         v2 = EMBED_B2 * v + (1.0 - EMBED_B2) * g * g
         upd = (m2 * bc[0, 0]) / (jnp.sqrt(v2 * bc[1, 0]) + EMBED_EPS)

@@ -71,11 +71,13 @@ class HashGridSpec:
     # semantics on every level coarser than ~10 cm.
     hybrid_dense_slack: float = 1.25
     # cell/hybrid backward: what the gradient sort carries for the corner
-    # weights. "weights" = 8 bf16 weights (4 packed int32 columns, exact up
-    # to bf16 rounding); "frac" = ONE 3x10-bit packed-frac column with the
-    # weights recomputed post-sort (~33% less sort payload; <=0.3% extra
-    # weight quantization — see ops/segment.pack_frac).
-    sort_carry: str = "weights"
+    # weights. "frac" (default; r4 A/B +10.5%) = ONE 3x10-bit packed-frac
+    # column with the weights recomputed post-sort (~33% less sort
+    # payload; <=0.3% extra weight quantization, the same order as the
+    # bf16 rounding of the alternative — see ops/segment.pack_frac);
+    # "weights" = 8 bf16 weights (4 packed int32 columns, exact up to
+    # bf16 rounding).
+    sort_carry: str = "frac"
 
     @property
     def table_size(self) -> int:

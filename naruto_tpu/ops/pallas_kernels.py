@@ -202,88 +202,3 @@ def outer_cumsum_supported() -> bool:
     return _pallas_enabled("NARUTO_NO_PALLAS_CUMSUM")
 
 
-def fused_adam_supported() -> bool:
-    return _pallas_enabled("NARUTO_NO_PALLAS_ADAM")
-
-
-# ====================================================================== adam
-# One-pass Adam for the hash-table parameter group. optax's chain compiles
-# to several HBM sweeps over the ~13M-param table (g, mu, nu, update, apply
-# — measured 2.2 ms/iter at 29.5 it/s); this kernel streams g/p/m/v once
-# and writes p'/m'/v' in place (input_output_aliases). Math matches
-# optax.scale_by_adam(eps_root=0) + scale(-lr): the reference's embeddings
-# Adam (src/slam/coslam/coslam.py:413-417, lr=0.01, eps=1e-15).
-
-# rows of 128 lanes per grid step; 7 buffers x double-buffering means
-# 14 x BK x 512B of scoped VMEM — 2048 exceeded the 16 MB limit on v5e
-ADAM_BK = 1024
-
-
-def _adam_kernel(lr, b1, b2, eps, bc_ref, g_ref, p_ref, m_ref, v_ref,
-                 po_ref, mo_ref, vo_ref):
-    g = g_ref[:]
-    m = b1 * m_ref[:] + (1.0 - b1) * g
-    v = b2 * v_ref[:] + (1.0 - b2) * g * g
-    mh = m * bc_ref[0, 0]                   # 1 / (1 - b1^t)
-    vh = v * bc_ref[1, 0]
-    po_ref[:] = p_ref[:] - lr * (mh / (jnp.sqrt(vh) + eps))
-    mo_ref[:] = m
-    vo_ref[:] = v
-
-
-@functools.partial(jax.jit,
-                   static_argnames=("lr", "b1", "b2", "eps", "interpret"))
-def fused_adam(p, m, v, g, bc, lr: float, b1: float, b2: float,
-               eps: float, interpret: bool = False):
-    """One-pass Adam on an arbitrary-shaped f32 leaf.
-
-    bc: [2, 1] f32 = [1/(1-b1^t), 1/(1-b2^t)] bias corrections (computed
-    in XLA from the step count). Returns (p', m', v'); p/m/v buffers are
-    donated/aliased in place.
-    """
-    shape = p.shape
-    n = int(np.prod(shape))
-    cols = 128
-    rows = -(-n // cols)
-    pad_rows = -(-rows // ADAM_BK) * ADAM_BK
-    total = pad_rows * cols
-
-    def flat(x):
-        x = x.reshape(-1)
-        if total > n:
-            x = jnp.concatenate([x, jnp.zeros((total - n,), x.dtype)])
-        return x.reshape(pad_rows, cols)
-
-    pf, mf, vf, gf = flat(p), flat(m), flat(v), flat(g)
-    grid = pad_rows // ADAM_BK
-    blk = lambda b: (b, 0)                         # noqa: E731
-    kernel = functools.partial(_adam_kernel, lr, b1, b2, eps)
-    po, mo, vo = pl.pallas_call(
-        kernel,
-        grid=(grid,),
-        in_specs=[
-            pl.BlockSpec((2, 1), lambda b: (0, 0),
-                         memory_space=pltpu.SMEM),
-            pl.BlockSpec((ADAM_BK, cols), blk, memory_space=pltpu.VMEM),
-            pl.BlockSpec((ADAM_BK, cols), blk, memory_space=pltpu.VMEM),
-            pl.BlockSpec((ADAM_BK, cols), blk, memory_space=pltpu.VMEM),
-            pl.BlockSpec((ADAM_BK, cols), blk, memory_space=pltpu.VMEM),
-        ],
-        out_specs=(
-            pl.BlockSpec((ADAM_BK, cols), blk, memory_space=pltpu.VMEM),
-            pl.BlockSpec((ADAM_BK, cols), blk, memory_space=pltpu.VMEM),
-            pl.BlockSpec((ADAM_BK, cols), blk, memory_space=pltpu.VMEM),
-        ),
-        out_shape=(
-            jax.ShapeDtypeStruct((pad_rows, cols), jnp.float32),
-            jax.ShapeDtypeStruct((pad_rows, cols), jnp.float32),
-            jax.ShapeDtypeStruct((pad_rows, cols), jnp.float32),
-        ),
-        input_output_aliases={2: 0, 3: 1, 4: 2},
-        interpret=interpret,
-    )(bc, gf, pf, mf, vf)
-
-    def unflat(x):
-        return x.reshape(-1)[:n].reshape(shape)
-
-    return unflat(po), unflat(mo), unflat(vo)

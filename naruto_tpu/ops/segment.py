@@ -158,18 +158,21 @@ def dense_segment_sum_outer_level_major(
 
 
 def _batched_sort(ops, n_batch: int):
-    """Variadic sort of level-major flat [M] operands as n_batch
-    INDEPENDENT per-level sorts ([L, N] batched along axis 0 — XLA sorts
-    each row separately). Because every key carries its level's table
-    offset, the levels' key ranges are disjoint and ordered, so the
-    flattened concatenation of per-level sorts is ALREADY globally sorted:
-    same result as one flat sort at ~log(N/L)/log(N) of the bitonic pass
-    count, exploiting that the level-major input never mixes levels.
-    Set NARUTO_FLAT_SORT=1 to fall back to the single flat sort (A/B)."""
+    """Variadic sort of level-major flat [M] operands. Default: ONE flat
+    sort. NARUTO_BATCHED_SORT=1 opts into n_batch INDEPENDENT per-level
+    sorts ([L, N] batched along axis 0) — valid because every key carries
+    its level's table offset so the levels' key ranges are disjoint and
+    the concatenation of per-level sorts is already globally sorted.
+
+    The batched variant looks cheaper on paper (~log(N/L)/log(N) of the
+    bitonic pass count) but MEASURES SLOWER on v5e: r4 bracketed A/B
+    (results/r4_hw_queue.log) — batched 43.2 it/s vs flat 47.7 (+10.4%)
+    whole-pipeline; XLA's multi-row sort lowering doesn't recover the
+    shorter passes. Kept as an opt-in A/B knob."""
     import os
     m = ops[0].shape[0]
     if (n_batch <= 1 or m % n_batch
-            or os.environ.get("NARUTO_FLAT_SORT")):
+            or not os.environ.get("NARUTO_BATCHED_SORT")):
         return jax.lax.sort(ops, num_keys=1)
     n = m // n_batch
     batched = jax.lax.sort(tuple(o.reshape(n_batch, n) for o in ops),

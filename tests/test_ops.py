@@ -161,31 +161,37 @@ class TestMLP:
 
 
 
-class TestFusedAdam:
-    """Pallas one-pass Adam (interpret mode on CPU) matches optax
-    scale_by_adam(eps_root=0) + scale(-lr) step by step."""
+class TestEmbedAdam:
+    """The hand-rolled table Adam (mapper._embed_adam_update — the Pallas
+    fused_adam kernel was deleted in r4 after the XLA form measured
+    faster) matches optax scale_by_adam(eps_root=0) + scale(-lr) step by
+    step."""
 
     def test_matches_optax_over_steps(self):
         import optax
-        from naruto_tpu.ops.pallas_kernels import fused_adam
+        from naruto_tpu.mapping.mapper import (EMBED_B1, EMBED_B2,
+                                               EMBED_EPS, _embed_adam_update,
+                                               _init_embed_state)
 
-        lr, b1, b2, eps = 0.01, 0.9, 0.99, 1e-15
-        tx = optax.chain(optax.scale_by_adam(b1=b1, b2=b2, eps=eps),
-                         optax.scale(-lr))
+        lr = 0.01
+        tx = optax.chain(
+            optax.scale_by_adam(b1=EMBED_B1, b2=EMBED_B2, eps=EMBED_EPS),
+            optax.scale(-lr))
         key = jax.random.PRNGKey(0)
-        p_ref = jax.random.normal(key, (37, 5))   # odd shape -> padding path
-        st = tx.init(p_ref)
-        p = p_ref
-        m = jnp.zeros_like(p)
-        v = jnp.zeros_like(p)
+        table = {"a": jax.random.normal(key, (37, 5)),
+                 "b": jax.random.normal(key, (16,))}
+        p_ref = table
+        st_ref = tx.init(p_ref)
+        st = _init_embed_state(table)
         for t in range(1, 4):
-            g = jax.random.normal(jax.random.PRNGKey(t), (37, 5))
-            upd, st = tx.update(g, st, p_ref)
+            g = jax.tree_util.tree_map(
+                lambda p: jax.random.normal(
+                    jax.random.fold_in(jax.random.PRNGKey(t), p.size),
+                    p.shape), table)
+            upd, st_ref = tx.update(g, st_ref, p_ref)
             p_ref = optax.apply_updates(p_ref, upd)
-            tf = jnp.float32(t)
-            bc = jnp.stack([1.0 / (1.0 - b1 ** tf),
-                            1.0 / (1.0 - b2 ** tf)]).reshape(2, 1)
-            p, m, v = fused_adam(p, m, v, g, bc, lr=lr, b1=b1, b2=b2,
-                                 eps=eps, interpret=True)
-            np.testing.assert_allclose(np.asarray(p), np.asarray(p_ref),
-                                       rtol=2e-5, atol=1e-7)
+            table, st = _embed_adam_update(table, g, st, lr)
+            for k in table:
+                np.testing.assert_allclose(
+                    np.asarray(table[k]), np.asarray(p_ref[k]),
+                    rtol=2e-5, atol=1e-7)
