@@ -237,18 +237,25 @@ def derived_gather_table(table, spec: HashGridSpec, dtype) -> jnp.ndarray:
 def _cell_rows_transpose(d_rows: jnp.ndarray, res: int,
                          n_features: int) -> jnp.ndarray:
     """Cotangent of derived cell rows [R^3, 8F] -> vertex grid
-    [(R+1), (R+1), (R+1), F] as 8 shifted in-place adds (no scatter).
+    [(R+1), (R+1), (R+1), F] as a sum of 8 corner-shifted PADS (no
+    scatter, no update chain).
 
-    Each corner block c of the cell cotangent is a column slice that adds
-    into the vertex grid at offset (cz, cy, cx) — pure dynamic-update-slice
-    adds. The equivalent transposed conv_general_dilated lowered terribly
-    on v5e (2.8 ms/iter for the 42^3 level vs <0.5 ms for these adds)."""
+    Each corner block c of the cell cotangent adds into the vertex grid
+    at offset (cz, cy, cx). Three formulations benched on v5e:
+    transposed conv_general_dilated (2.8 ms/iter for the 42^3 level),
+    eight `.at[slice].add` updates (lowers to a SERIALIZED
+    dynamic-update-slice chain — the r4 trace shows ~2 ms/iter across the
+    dense levels + uncert grid), and this one: pad each block by its
+    offset and sum — 8 reads + 7 adds that XLA fuses into ONE elementwise
+    pass over the (R+1)^3 F output."""
     F = n_features
-    out = jnp.zeros((res + 1, res + 1, res + 1, F), jnp.float32)
+    out = None
     for c, (cx, cy, cz) in enumerate(_CORNERS):
         blk = d_rows[:, c * F:(c + 1) * F].astype(jnp.float32) \
             .reshape(res, res, res, F)          # [z, y, x, F] (x fastest)
-        out = out.at[cz:cz + res, cy:cy + res, cx:cx + res].add(blk)
+        p = jnp.pad(blk, ((cz, 1 - cz), (cy, 1 - cy), (cx, 1 - cx),
+                          (0, 0)))
+        out = p if out is None else out + p
     return out
 
 

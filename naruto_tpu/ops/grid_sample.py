@@ -82,12 +82,15 @@ def _trilerp_bwd(shape, res, g):
     d_cell = dense_segment_sum(cell, g[:, None] * w, n_cells,
                                pack_bf16=False)                # [cells, 8]
     d_cell = d_cell.reshape(X - 1, Y - 1, Z - 1, 8)
-    # unpack cell-corner grads back to the vertex grid: 8 static slice-adds
-    # (the exact transpose of _cell_pack; no scatter)
-    d_vol = jnp.zeros(shape, dtype=jnp.float32)
+    # unpack cell-corner grads back to the vertex grid: sum of 8 corner-
+    # shifted pads (the exact transpose of _cell_pack; no scatter). Pads
+    # fuse into one elementwise pass — `.at[slice].add` lowered to a
+    # serialized dynamic-update-slice chain on v5e (r4 trace).
+    d_vol = None
     for k, (dx, dy, dz) in enumerate(_CORNERS):
-        d_vol = d_vol.at[dx:dx + X - 1, dy:dy + Y - 1,
-                         dz:dz + Z - 1].add(d_cell[..., k])
+        p = jnp.pad(d_cell[..., k],
+                    ((dx, 1 - dx), (dy, 1 - dy), (dz, 1 - dz)))
+        d_vol = p if d_vol is None else d_vol + p
     d_vol = d_vol.astype(vol.dtype)
 
     corners = jnp.asarray(_CORNERS, dtype=frac.dtype)         # [8, 3]
