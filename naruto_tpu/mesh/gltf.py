@@ -235,11 +235,35 @@ def _decode_image_external(blob: bytes) -> Optional[np.ndarray]:
         return None
 
 
-def load_gltf(path: str, quiet: bool = False
+def stage_rotation(up, front) -> np.ndarray:
+    """Habitat stage-config orientation (MP3D ships one next to each GLB,
+    e.g. configs/MP3D/gZ6f7yhEvPG/mp3d.stage_config.json: {"up": [0,1,0],
+    "front": [0,0,-1]}): the asset is rotated so `up` maps to +Y and
+    `front` to -Z, habitat's canonical frame. The MP3D values are the
+    canonical frame itself (identity); a Z-up scan would declare
+    up=[0,0,1] and get rotated onto Y-up so real assets work untouched.
+
+    Returns the 3x3 rotation (f32). `front` is re-orthogonalized against
+    `up` (habitat tolerates slightly off-axis metadata)."""
+    u = np.asarray(up, np.float64)
+    u = u / np.linalg.norm(u)
+    f = np.asarray(front, np.float64)
+    f = f - u * (f @ u)            # project out any up component
+    f = f / np.linalg.norm(f)
+    r = np.cross(f, u)             # canonical: cross(-Z, +Y) == +X
+    src = np.stack([r, u, f], axis=1)                 # columns r,u,f
+    tgt = np.stack([[1.0, 0.0, 0.0],
+                    [0.0, 1.0, 0.0],
+                    [0.0, 0.0, -1.0]], axis=1)        # columns X,Y,-Z
+    return (tgt @ src.T).astype(np.float32)
+
+
+def load_gltf(path: str, quiet: bool = False, up=None, front=None
               ) -> Tuple[np.ndarray, np.ndarray, Optional[np.ndarray]]:
     """Load a .glb/.gltf scene -> (verts [N,3] f32, faces [M,3] i32,
     colors [N,3] f32 in [0,1] or None). All primitives merged with node
-    transforms applied."""
+    transforms applied. `up`/`front` apply a habitat stage-config
+    orientation (see stage_rotation); both default to None = identity."""
     base_dir = os.path.dirname(os.path.abspath(path))
     with open(path, "rb") as f:
         head = f.read(4)
@@ -345,4 +369,8 @@ def load_gltf(path: str, quiet: bool = False
     verts = np.concatenate(all_v).astype(np.float32)
     faces = np.concatenate(all_f).astype(np.int32)
     colors = np.concatenate(all_c).astype(np.float32) if any_color else None
+    if up is not None or front is not None:
+        rot = stage_rotation(up if up is not None else [0.0, 1.0, 0.0],
+                             front if front is not None else [0.0, 0.0, -1.0])
+        verts = verts @ rot.T
     return verts, faces, colors

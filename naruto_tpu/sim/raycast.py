@@ -120,6 +120,20 @@ class RaycastSimulator(Simulator):
         self._lib = _load_lib()
         if verts is None:
             path = cfg.sim.scene_path
+            up, front = cfg.sim.stage_up, cfg.sim.stage_front
+            if cfg.sim.stage_config:
+                # habitat stage_config.json (MP3D layout): render_asset is
+                # relative to the json; up/front orient the asset unless
+                # explicitly overridden in the config
+                import json as _json
+
+                with open(cfg.sim.stage_config) as f:
+                    stage = _json.load(f)
+                path = os.path.normpath(os.path.join(
+                    os.path.dirname(os.path.abspath(cfg.sim.stage_config)),
+                    stage["render_asset"]))
+                up = up if up is not None else stage.get("up")
+                front = front if front is not None else stage.get("front")
             if os.path.isdir(path):
                 # scene dir (mesh.ply + optional traj.txt for passive
                 # replays — pose_loader reads scene_path/traj.txt)
@@ -129,7 +143,7 @@ class RaycastSimulator(Simulator):
                 # habitat pipeline (habitat_utils.py:182-215)
                 from naruto_tpu.mesh.gltf import load_gltf
 
-                verts, faces, colors = load_gltf(path)
+                verts, faces, colors = load_gltf(path, up=up, front=front)
             else:
                 from naruto_tpu.mesh.ply import read_ply
 

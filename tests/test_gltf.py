@@ -173,3 +173,65 @@ def test_raycast_renders_glb(tmp_path):
     center = depth[14:18, 14:18]
     np.testing.assert_allclose(center, 2.0, atol=1e-3)
     assert color[16, 16].sum() > 0.05       # interpolated vertex colors
+
+
+def test_stage_rotation_semantics():
+    """Habitat stage-config orientation: up -> +Y, front -> -Z; the MP3D
+    values (up [0,1,0], front [0,0,-1]) are the identity."""
+    from naruto_tpu.mesh.gltf import stage_rotation
+
+    r_id = stage_rotation([0, 1, 0], [0, 0, -1])
+    np.testing.assert_allclose(r_id, np.eye(3), atol=1e-6)
+
+    # Z-up, Y-front scan: up must land on +Y, front on -Z
+    r = stage_rotation([0, 0, 1], [0, 1, 0])
+    np.testing.assert_allclose(r @ [0, 0, 1], [0, 1, 0], atol=1e-6)
+    np.testing.assert_allclose(r @ [0, 1, 0], [0, 0, -1], atol=1e-6)
+    np.testing.assert_allclose(r @ r.T, np.eye(3), atol=1e-6)  # rotation
+    assert np.linalg.det(r) > 0.99
+
+
+def test_load_glb_with_stage_orientation(tmp_path):
+    """load_gltf(up=, front=) rotates a Z-up asset onto habitat's Y-up
+    frame (VERDICT r3 item 9: real MP3D assets work untouched)."""
+    path = _make_glb(tmp_path)
+    v0, f0, _ = load_gltf(path, quiet=True)
+    v, f, _ = load_gltf(path, quiet=True, up=[0, 0, 1], front=[0, 1, 0])
+    np.testing.assert_array_equal(f, f0)
+    from naruto_tpu.mesh.gltf import stage_rotation
+    r = stage_rotation([0, 0, 1], [0, 1, 0])
+    np.testing.assert_allclose(v, v0 @ r.T, atol=1e-5)
+    # the quad lived at z=+2; under Z-up -> Y-up it must now be at y=+2
+    np.testing.assert_allclose(v[:4, 1], 2.0, atol=1e-5)
+
+
+def test_raycast_stage_config_json(tmp_path):
+    """sim.stage_config points at a habitat stage_config.json: the loader
+    resolves render_asset relative to the json and applies up/front."""
+    import json as _json
+
+    from naruto_tpu.config import make_config
+    from naruto_tpu.sim.raycast import RaycastSimulator
+
+    path = _make_glb(tmp_path)
+    stage = tmp_path / "scene.stage_config.json"
+    # declare the asset Z-up/Y-front -> the quad at z=+2 rotates to y=+2
+    stage.write_text(_json.dumps({
+        "render_asset": path if isinstance(path, str) else str(path),
+        "up": [0, 0, 1], "front": [0, 1, 0]}))
+    cfg = make_config("Replica", "office0", overrides={
+        "sim": {"method": "raycast", "stage_config": str(stage),
+                "pinhole_hw": (32, 32), "erp_hw": (16, 32)},
+        "cam": {"H": 32, "W": 32, "fx": 16.0, "fy": 16.0,
+                "cx": 15.5, "cy": 15.5},
+    })
+    sim = RaycastSimulator(cfg)
+    # look along +y (stage-rotated quad normal): camera at origin with
+    # RDF axes mapped so the optical axis is +y
+    c2w = np.array([[1, 0, 0, 0],
+                    [0, 0, 1, 0],
+                    [0, -1, 0, 0],
+                    [0, 0, 0, 1]], np.float32)
+    color, depth = sim.simulate(c2w)[:2]
+    center = depth[14:18, 14:18]
+    np.testing.assert_allclose(center, 2.0, atol=1e-3)
