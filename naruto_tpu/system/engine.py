@@ -190,6 +190,15 @@ class Engine:
         update_results_file({"traj_length_m": traj_len},
                             os.path.join(out, "eval_result.txt"))
 
+        # exploration diagnostics (weak-seed analysis, VERDICT r3 #6)
+        if hasattr(self.planner, "stats_summary"):
+            import json as _json
+
+            with open(os.path.join(out, "planner_stats.json"), "w") as f:
+                _json.dump({"summary": self.planner.stats_summary(),
+                            "events": self.planner.stats["events"]}, f,
+                           indent=1)
+
         # asset-free runs: export the analytic scene's exact GT mesh so the
         # recon metrics can be computed without external data
         gt_path = None
