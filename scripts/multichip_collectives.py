@@ -32,11 +32,11 @@ _sys.path.insert(0, _os.path.dirname(_os.path.dirname(
 ICI_ONEWAY_BYTES_PER_S = 45e9
 AXIS_BW = 2 * ICI_ONEWAY_BYTES_PER_S        # both ring directions
 
-# Measured single-chip decomposition at the r4 default (54.7 it/s =
-# 18.3 ms/iter; PERFORMANCE.md floor table): the table Adam (~1.0 ms)
+# Measured single-chip decomposition at the r4 default (57.4 it/s =
+# 17.4 ms/iter; PERFORMANCE.md floor table): the table Adam (~1.0 ms)
 # and dispatch/glue that does not shrink with rays (~1.3 ms) are
 # per-chip fixed; the rest scales with rays/chip under DP.
-SINGLE_CHIP_MS = 18.3
+SINGLE_CHIP_MS = 17.4
 FIXED_MS = 2.3
 
 
