@@ -35,6 +35,7 @@ scaling (the reference hardcodes x10 == 1/0.1).
 from __future__ import annotations
 
 import functools
+import os
 from typing import Dict, NamedTuple, Optional, Tuple
 
 import jax
@@ -605,7 +606,15 @@ class Mapper:
                     # (lowest-uncertainty K of a random 4x oversample), so
                     # a near-miss set is statistically equivalent; the
                     # exact lax.top_k is serial-ish on TPU at these sizes.
+                    # (r4 A/B: approx_max_k lowers CATASTROPHICALLY on this
+                    # backend, -80% whole-pipeline — keep opt-in/off.)
                     _, sel = jax.lax.approx_max_k(-score, k_sel)
+                elif os.environ.get("NARUTO_TOPK_VIA_SORT"):
+                    # A/B knob: same selected SET via one full argsort of
+                    # the ~8.7k scores instead of lax.top_k's
+                    # iterative-partial lowering (roadmap glue item:
+                    # "active-ray top-k + KF sampling ~1.5 ms").
+                    sel = jnp.argsort(score)[:k_sel]
                 else:
                     _, sel = jax.lax.top_k(-score, k_sel)
             else:

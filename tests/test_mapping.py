@@ -395,6 +395,33 @@ class TestMapperVariants:
         assert np.isfinite(near_cam[0]) and np.isfinite(at_wall[0])
         assert near_cam[0] > at_wall[0]
 
+    def test_topk_via_sort_selects_same_set(self, monkeypatch):
+        """NARUTO_TOPK_VIA_SORT replaces lax.top_k with one full argsort
+        (glue A/B, mapper._ba_impl). Same selected SET and the same
+        ascending-score order on distinct scores; plus the knob drives the
+        full online step (compiles, learns) like the default graph."""
+        import jax
+
+        k = 8
+        score = jax.random.permutation(
+            jax.random.PRNGKey(0),
+            np.linspace(0.0, 1.0, 64, dtype=np.float32))
+        _, sel_topk = jax.lax.top_k(-score, k)
+        sel_sort = np.asarray(np.argsort(np.asarray(score))[:k])
+        np.testing.assert_array_equal(np.asarray(sel_topk), sel_sort)
+
+        monkeypatch.setenv("NARUTO_TOPK_VIA_SORT", "1")
+        cfg = tiny_cfg()
+        mapper = Mapper(cfg)
+        color, depth = _render_wall_frame(cfg)
+        c2w = np.eye(4, dtype=np.float32)
+        for i in range(6):
+            mapper.update_step(i)
+            mapper.online_recon_step(i, color, depth, c2w)
+        near_cam = mapper.predict_sdf(np.array([[0.0, 0.0, 0.3]]))
+        at_wall = mapper.predict_sdf(np.array([[0.0, 0.0, 1.5]]))
+        assert near_cam[0] > at_wall[0]
+
 
 class TestFullStateResume:
     def test_resume_reproduces_run(self):
