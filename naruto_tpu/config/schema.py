@@ -245,6 +245,14 @@ class PlannerConfig:
     enable_eval: bool = False
     enable_direct_line: bool = True
     collision_thre: float = 0.5             # voxels (SDF collision threshold)
+    # Exploration mitigation (DEVIATION, default off = exact reference
+    # lifecycle): every k-th plan, reset the traversability mask to ones
+    # so regions masked out by an EARLY failed RRT are retried against the
+    # since-improved map. The reference (naruto_planner.py:330-393) keeps
+    # a failed-RRT mask forever unless aggregation finds no valid goals —
+    # a stale mask can permanently hide real uncertainty and stall
+    # coverage (the weak-seed diagnosis, VERDICT r3 #6). 0 disables.
+    trav_mask_decay: int = 0
 
 
 @dataclass

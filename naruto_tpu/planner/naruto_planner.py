@@ -56,7 +56,8 @@ class NarutoPlanner:
         # events + per-step state dwell, dumped by Engine.finalize as
         # planner_stats.json and summarized by stats_summary().
         self.stats: Dict = {"events": [], "state_steps": {},
-                            "collisions": 0, "mask_refilters": 0}
+                            "collisions": 0, "mask_refilters": 0,
+                            "mask_decays": 0}
 
     # -------------------------------------------------------------- wiring
     def update_step(self, step: int) -> None:
@@ -179,6 +180,14 @@ class NarutoPlanner:
         if self.step == 0:
             self.traversability_mask = np.ones(self.vol_shape,
                                                dtype=np.float32)
+        decay = self.pcfg.trav_mask_decay
+        if (decay > 0 and self.stats["events"]
+                and len(self.stats["events"]) % decay == 0):
+            # mitigation (schema: PlannerConfig.trav_mask_decay): retry
+            # stale masked-out regions against the improved map
+            self.stats["mask_decays"] = self.stats.get("mask_decays", 0) + 1
+            self.traversability_mask = np.ones(self.vol_shape,
+                                               dtype=np.float32)
         if self.pcfg.enable_uncert_filtering:
             uncert_vol = uncert_vol * self.traversability_mask
 
@@ -235,6 +244,7 @@ class NarutoPlanner:
             "goal_repeat_vxl": (list(rep[0][0]) if rep else None),
             "collisions": self.stats["collisions"],
             "mask_refilters": self.stats["mask_refilters"],
+            "mask_decays": self.stats.get("mask_decays", 0),
             "state_steps": dict(self.stats["state_steps"]),
             "uncert_mass_first": masses[0] if masses else None,
             "uncert_mass_min": min(masses) if masses else None,

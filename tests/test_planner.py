@@ -273,3 +273,56 @@ class TestFSMTransitions:
         assert planner.state == "staying"
         planner.main(vols, pose, is_new_vols=True)
         assert planner.state == "planning"
+
+
+class TestTravMaskDecay:
+    def test_decay_resets_stale_mask(self):
+        """planner.trav_mask_decay=k resets the traversability mask to ones
+        every k-th plan, so regions masked out by an early failed RRT are
+        retried against the improved map (opt-in deviation; default 0 =
+        exact reference lifecycle, naruto_planner.py:330-393)."""
+        cfg = deep_update(_planner_cfg(), {"planner": {"trav_mask_decay": 2}})
+        planner = init_planner(cfg)
+        planner.init_data(cfg.mapper.bound_np)
+        planner.init_local_planner()
+
+        shape = planner.vol_shape
+        sdf = box_room_sdf(shape)
+        uncert = np.zeros(shape, dtype=np.float32)
+        uncert[22, 22, 10] = 4.0
+        pose = np.eye(4, dtype=np.float32)
+        pose[:3, 3] = planner.vox2loc(np.array([15.0, 15, 10]))
+
+        planner.update_step(0)
+        planner.state = "planning"
+        planner.compute_next_state_pose(pose, [uncert, sdf])
+        # poison the mask as a failed RRT would
+        planner.traversability_mask = np.zeros(shape, dtype=np.float32)
+        planner.update_step(1)
+        planner.state = "planning"
+        planner.compute_next_state_pose(pose, [uncert, sdf])
+        # 2nd plan (events len 1 -> not yet 2): mask still stale? The decay
+        # fires when len(events) % k == 0, i.e. before the 3rd plan here.
+        planner.update_step(2)
+        planner.state = "planning"
+        planner.compute_next_state_pose(pose, [uncert, sdf])
+        assert planner.stats["mask_decays"] >= 1
+        assert planner.traversability_mask.max() == 1.0
+        assert planner.stats_summary()["mask_decays"] >= 1
+
+    def test_default_keeps_reference_lifecycle(self):
+        cfg = _planner_cfg()
+        planner = init_planner(cfg)
+        planner.init_data(cfg.mapper.bound_np)
+        planner.init_local_planner()
+        shape = planner.vol_shape
+        sdf = box_room_sdf(shape)
+        uncert = np.zeros(shape, dtype=np.float32)
+        uncert[22, 22, 10] = 4.0
+        pose = np.eye(4, dtype=np.float32)
+        pose[:3, 3] = planner.vox2loc(np.array([15.0, 15, 10]))
+        for i in range(4):
+            planner.update_step(i)
+            planner.state = "planning"
+            planner.compute_next_state_pose(pose, [uncert, sdf])
+        assert planner.stats["mask_decays"] == 0
