@@ -228,18 +228,19 @@ class RaycastSimulator(Simulator):
         T[:3, 3] = st["pos"]
         self.set_object_pose(st["id"], T)
 
-    def _support_distance(self, st) -> float:
-        """Distance from the object's lowest point to the first surface
-        straight below it (world -z), via ONE 1x1-pixel depth render cast
-        from just under the object (so its own triangles can't self-hit).
-        Returns np.inf on a miss."""
-        zmin = float((st["obj_verts"] @ st["rot"].T)[:, 2].min())
-        origin = st["pos"] + np.array([0.0, 0.0, zmin - 1e-3], np.float32)
-        # RDF camera looking along world -z: columns [right, down, forward]
+    def _cast_distance(self, origin: np.ndarray, fwd: np.ndarray) -> float:
+        """Distance to the first surface from `origin` along unit `fwd`,
+        via ONE 1x1-pixel depth render. Returns np.inf on a miss."""
+        # build an RDF camera whose forward is `fwd`
+        up = (np.array([0.0, 0.0, 1.0], np.float32)
+              if abs(fwd[2]) < 0.9 else np.array([1.0, 0.0, 0.0], np.float32))
+        right = np.cross(fwd, up)
+        right /= max(np.linalg.norm(right), 1e-9)
+        down = np.cross(fwd, right)
         c2w = np.eye(4, dtype=np.float32)
-        c2w[:3, 0] = (1, 0, 0)     # right
-        c2w[:3, 1] = (0, -1, 0)    # down
-        c2w[:3, 2] = (0, 0, -1)    # forward = world -z
+        c2w[:3, 0] = right
+        c2w[:3, 1] = down
+        c2w[:3, 2] = fwd
         c2w[:3, 3] = origin
         pose = np.ascontiguousarray(c2w).reshape(16)
         color = np.empty((1, 1, 3), dtype=np.float32)
@@ -252,6 +253,37 @@ class RaycastSimulator(Simulator):
         d = float(depth[0, 0])
         return d if d > 0.0 else np.inf
 
+    def _support_distance(self, st) -> float:
+        """Distance from the object's lowest point to the first surface
+        straight below it (world -z), cast from just under the object so
+        its own triangles can't self-hit. Returns np.inf on a miss."""
+        zmin = float((st["obj_verts"] @ st["rot"].T)[:, 2].min())
+        origin = st["pos"] + np.array([0.0, 0.0, zmin - 1e-3], np.float32)
+        return self._cast_distance(
+            origin, np.array([0.0, 0.0, -1.0], np.float32))
+
+    def _clamped_translate(self, st, disp: np.ndarray) -> bool:
+        """Contact response along a motion direction (the reference's
+        Bullet stops objects at scene geometry, habitat_simulator.py:66-79;
+        without this a velocity profile drives an object THROUGH a wall).
+        Casts one ray from the object's leading extent along `disp`; if
+        the displacement reaches the first surface, the object stops just
+        short of it. Returns True on contact (caller zeroes velocity —
+        rest semantics, same as the vertical settle: no bounce/friction)."""
+        n = float(np.linalg.norm(disp))
+        if n <= 0.0:
+            return False
+        d = disp / n
+        # leading extent: furthest vertex along the motion direction
+        ext = float(((st["obj_verts"] @ st["rot"].T) @ d).max())
+        origin = st["pos"] + d * (ext + 1e-3)
+        free = self._cast_distance(origin, d.astype(np.float32))
+        if n >= free - 1e-3:
+            st["pos"] = st["pos"] + d * max(free - 1e-3, 0.0)
+            return True
+        st["pos"] = st["pos"] + disp
+        return False
+
     def step_physics(self, dt: float) -> None:
         """Advance rigid-object states: constant linear/angular velocity
         integration, plus (when sim.gravity > 0) a vertical free-fall
@@ -262,14 +294,17 @@ class RaycastSimulator(Simulator):
         g = float(self.cfg.sim.gravity)
         for st in self._obj_states:
             if g > 0.0:
-                # horizontal motion first; the vertical displacement is
-                # integrated WITH the accumulated fall velocity and clamped
-                # against the support as a whole — checking only the
-                # per-step 0.5*g*dt^2 term while pos += vel*dt applied
-                # vel_z unconditionally let fast-falling objects tunnel
-                # through the floor (contact must see |vel_z|*dt too)
-                st["pos"][0] += st["vel"][0] * dt
-                st["pos"][1] += st["vel"][1] * dt
+                # horizontal motion first (with wall contact); the vertical
+                # displacement is integrated WITH the accumulated fall
+                # velocity and clamped against the support as a whole —
+                # checking only the per-step 0.5*g*dt^2 term while
+                # pos += vel*dt applied vel_z unconditionally let
+                # fast-falling objects tunnel through the floor (contact
+                # must see |vel_z|*dt too)
+                h_disp = np.array(
+                    [st["vel"][0] * dt, st["vel"][1] * dt, 0.0], np.float32)
+                if self._clamped_translate(st, h_disp):
+                    st["vel"][0] = st["vel"][1] = 0.0
                 drop = -(st["vel"][2] * dt) + 0.5 * g * dt * dt
                 support = self._support_distance(st)
                 if drop >= support - 1e-3:        # contact: come to rest
@@ -279,7 +314,8 @@ class RaycastSimulator(Simulator):
                     st["pos"][2] -= drop          # signed: <0 moves up
                     st["vel"][2] -= g * dt
             else:
-                st["pos"] = st["pos"] + st["vel"] * dt
+                if self._clamped_translate(st, st["vel"] * dt):
+                    st["vel"] = np.zeros(3, np.float32)
             w = st["angvel"] * dt
             if np.linalg.norm(w) > 0:
                 st["rot"] = _rotvec_matrix(w) @ st["rot"]

@@ -228,3 +228,62 @@ class TestDynamicObjects:
         # through the thin edge region occupying few pixels
         assert (dp[15:25, 20:40] < 2.0).mean() > 0.7
         assert (dr[15:25, 20:40] < 2.0).mean() < 0.3
+
+
+class TestWallContact:
+    def test_velocity_profile_stops_at_wall(self):
+        """Contact response for driven motion (habitat's Bullet stops
+        objects at scene geometry, habitat_simulator.py:66-79): a velocity
+        profile aimed at a wall comes to rest just short of it instead of
+        tunneling through."""
+        from naruto_tpu.config import make_config
+        from naruto_tpu.config.schema import deep_update
+        from naruto_tpu.sim.raycast import RaycastSimulator
+
+        cfg = make_config("Replica", "office0", num_iter=10)
+        cfg = deep_update(cfg, {
+            "cam": {"H": 40, "W": 60, "fx": 30.0, "fy": 30.0, "cx": 29.5,
+                    "cy": 19.5},
+            "sim": {"method": "raycast", "pinhole_hw": (40, 60),
+                    "erp_hw": (16, 32),
+                    "objects": [{"template": "sphere:0.3",
+                                 "location": [0, 0, 1.5],
+                                 "velocity": [1.0, 0, 0]}]},
+            "start_c2w": None,
+        })
+        v, f, c = box_mesh([-3, -3, -3], [3, 3, 3])
+        sim = RaycastSimulator(cfg, verts=v, faces=f, colors=c)
+        st = sim._obj_states[0]
+        for _ in range(40):                     # 8 m of driven motion
+            sim.step_physics(0.2)
+        # sphere radius 0.3: center rests at x ~= 3 - 0.3, never beyond
+        assert st["pos"][0] < 3.0
+        np.testing.assert_allclose(st["pos"][0], 2.7, atol=0.05)
+        assert np.linalg.norm(st["vel"]) == 0.0  # at rest after contact
+
+    def test_gravity_fall_keeps_horizontal_contact(self):
+        """Same contact under gravity: horizontal velocity into a wall
+        stops while the vertical settle still lands on the floor."""
+        from naruto_tpu.config import make_config
+        from naruto_tpu.config.schema import deep_update
+        from naruto_tpu.sim.raycast import RaycastSimulator
+
+        cfg = make_config("Replica", "office0", num_iter=10)
+        cfg = deep_update(cfg, {
+            "cam": {"H": 40, "W": 60, "fx": 30.0, "fy": 30.0, "cx": 29.5,
+                    "cy": 19.5},
+            "sim": {"method": "raycast", "pinhole_hw": (40, 60),
+                    "erp_hw": (16, 32), "gravity": 10.0,
+                    "objects": [{"template": "sphere:0.3",
+                                 "location": [0, 0, 1.5],
+                                 "velocity": [2.0, 0, 0]}]},
+            "start_c2w": None,
+        })
+        v, f, c = box_mesh([-3, -3, -3], [3, 3, 3])
+        sim = RaycastSimulator(cfg, verts=v, faces=f, colors=c)
+        st = sim._obj_states[0]
+        for _ in range(90):                     # 3 s at 30 Hz
+            sim.step_physics(1.0 / 30.0)
+        assert st["pos"][0] < 3.0
+        np.testing.assert_allclose(st["pos"][0], 2.7, atol=0.05)
+        np.testing.assert_allclose(st["pos"][2], -2.7, atol=0.05)
