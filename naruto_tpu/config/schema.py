@@ -253,6 +253,14 @@ class PlannerConfig:
     # a stale mask can permanently hide real uncertainty and stall
     # coverage (the weak-seed diagnosis, VERDICT r3 #6). 0 disables.
     trav_mask_decay: int = 0
+    # Exploration mitigation #2 (DEVIATION, default off): scale each
+    # goal's aggregated uncertainty by 1/(1 + p*times_already_chosen)
+    # before the argmax. The r4 raycast-seed diagnostics show weak seeds
+    # re-selecting ONE goal up to 9/41 plans (its uncertainty never
+    # resolves — e.g. unobservable from the reachable side), burning
+    # budget the reference argmax (naruto_planner.py:462-510) re-spends
+    # every plan. 0.0 disables.
+    goal_repeat_penalty: float = 0.0
 
 
 @dataclass

@@ -58,6 +58,7 @@ class NarutoPlanner:
         self.stats: Dict = {"events": [], "state_steps": {},
                             "collisions": 0, "mask_refilters": 0,
                             "mask_decays": 0}
+        self._goal_visits: Dict = {}    # goal-space index -> times chosen
 
     # -------------------------------------------------------------- wiring
     def update_step(self, step: int) -> None:
@@ -267,8 +268,19 @@ class NarutoPlanner:
         collections = np.asarray(agg.collections)
         topk_vxl = np.asarray(agg.topk_vxl)
 
+        pen = self.pcfg.goal_repeat_penalty
+        if pen > 0.0 and self._goal_visits:
+            # mitigation (schema: PlannerConfig.goal_repeat_penalty):
+            # discount goals already chosen so unresolvable uncertainty
+            # can't monopolize the plan budget
+            gs_aggre = gs_aggre.copy()
+            for gi_v, n in self._goal_visits.items():
+                gs_aggre[gi_v] /= 1.0 + pen * n
+
         flat_idx = int(gs_aggre.argmax())
         gi = np.unravel_index(flat_idx, gs_aggre.shape)
+        if pen > 0.0:
+            self._goal_visits[gi] = self._goal_visits.get(gi, 0) + 1
         goal_vxl = np.array([self.goal_space.x_range[gi[0]],
                              self.goal_space.y_range[gi[1]],
                              self.goal_space.z_range[gi[2]]], dtype=np.float64)

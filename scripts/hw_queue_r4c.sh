@@ -63,19 +63,19 @@ fi
 for seed in 0 1999 500 1000 1500; do
     past_deadline && { echo "[r4c] deadline; skip seed $seed" \
         | tee -a "$LOG"; break; }
-    out=results/seeds_r4_decay/Replica/office0/seed_$seed
+    out=results/seeds_r4_explore/Replica/office0/seed_$seed
     if [ -f "$out/Replica/office0/eval_result.txt" ]; then continue; fi
-    echo "=== 4. decay A/B seed $seed" | tee -a "$LOG"
+    echo "=== 4. goal-repeat-penalty A/B seed $seed" | tee -a "$LOG"
     timeout 5400 python -m naruto_tpu.run \
-        --cfg configs/ab/office0_decay.yaml --seed "$seed" \
+        --cfg configs/ab/office0_explore.yaml --seed "$seed" \
         --result_dir "$out" >>results/r4c_queue.stderr 2>&1
     echo "[r4c] $(date -u +%H:%M:%S) seed $seed rc=$?" | tee -a "$LOG"
     tail -1 "$out/Replica/office0/eval_result.txt" 2>/dev/null \
         | tee -a "$LOG"
 done
-if [ -d results/seeds_r4_decay/Replica/office0 ]; then
+if [ -d results/seeds_r4_explore/Replica/office0 ]; then
     python -m naruto_tpu.utils.results \
-        --scene-dir results/seeds_r4_decay/Replica/office0 \
+        --scene-dir results/seeds_r4_explore/Replica/office0 \
         2>>results/r4c_queue.stderr | tee -a "$LOG"
 fi
 

@@ -326,3 +326,55 @@ class TestTravMaskDecay:
             planner.state = "planning"
             planner.compute_next_state_pose(pose, [uncert, sdf])
         assert planner.stats["mask_decays"] == 0
+
+
+class TestGoalRepeatPenalty:
+    def test_repeat_penalty_moves_off_dominant_goal(self):
+        """planner.goal_repeat_penalty discounts a goal's aggregated score
+        by 1/(1+p*visits): with two uncertainty hotspots the argmax leaves
+        the dominant goal after it has been chosen, instead of re-picking
+        it every plan (the weak-seed signature: goal_repeat_max 9/41)."""
+        cfg = deep_update(_planner_cfg(),
+                          {"planner": {"goal_repeat_penalty": 1.0}})
+        planner = init_planner(cfg)
+        planner.init_data(cfg.mapper.bound_np)
+        planner.init_local_planner()
+
+        shape = planner.vol_shape
+        sdf = box_room_sdf(shape)
+        uncert = np.zeros(shape, dtype=np.float32)
+        uncert[22, 22, 10] = 5.0       # dominant hotspot
+        uncert[8, 8, 10] = 3.0         # secondary hotspot
+        pose = np.eye(4, dtype=np.float32)
+        pose[:3, 3] = planner.vox2loc(np.array([15.0, 15, 10]))
+
+        goals = []
+        for i in range(3):
+            planner.update_step(i)
+            planner.state = "planning"
+            planner.compute_next_state_pose(pose, [uncert, sdf])
+            goals.append(tuple(planner.stats["events"][-1]["goal_vxl"]))
+        # the same goal is never chosen three times in a row under p=1.0
+        assert len(set(goals)) >= 2
+
+    def test_penalty_off_tracks_nothing(self):
+        """Default p=0.0 keeps the exact reference argmax: no visit
+        tracking, no score modification. (Goal IDENTITY between plans
+        still jitters with the aggregation's random target subset, so the
+        off-behavior contract is 'no discounting machinery engaged'.)"""
+        cfg = _planner_cfg()
+        planner = init_planner(cfg)
+        planner.init_data(cfg.mapper.bound_np)
+        planner.init_local_planner()
+        shape = planner.vol_shape
+        sdf = box_room_sdf(shape)
+        uncert = np.zeros(shape, dtype=np.float32)
+        uncert[22, 22, 10] = 5.0
+        uncert[8, 8, 10] = 3.0
+        pose = np.eye(4, dtype=np.float32)
+        pose[:3, 3] = planner.vox2loc(np.array([15.0, 15, 10]))
+        for i in range(3):
+            planner.update_step(i)
+            planner.state = "planning"
+            planner.compute_next_state_pose(pose, [uncert, sdf])
+        assert planner._goal_visits == {}
