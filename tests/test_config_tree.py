@@ -126,3 +126,23 @@ def test_empty_section_in_inherit_merge(tmp_path):
     child2.write_text(f"inherit_from: {base2}\n"
                       "decoder: {geo_feat_dim: 29}\n")
     assert load_config(str(child2)).decoder.geo_feat_dim == 29
+
+
+def test_shipped_preset_semantics():
+    """Pin the knobs the shipped overlay presets exist to set: a silent
+    key rename in the schema must fail HERE, not mid-run on hardware.
+    turbo composition / pricing: PERFORMANCE.md "Turbo frontier"."""
+    from naruto_tpu.config import load_config
+
+    turbo = load_config(os.path.join(REPO, "configs", "turbo.yaml"))
+    assert turbo.training.smooth_every == 5
+    assert turbo.training.n_samples_d == 12
+    assert turbo.general.scene == "office0"  # inherits the scene config
+
+    explore = load_config(
+        os.path.join(REPO, "configs", "ab", "office0_explore.yaml"))
+    assert explore.planner.goal_repeat_penalty == 1.0
+
+    decay = load_config(
+        os.path.join(REPO, "configs", "ab", "office0_decay.yaml"))
+    assert decay.planner.trav_mask_decay == 10
