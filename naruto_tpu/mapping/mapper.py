@@ -728,8 +728,15 @@ class Mapper:
                       pose_accum0)
         else:
             carry0 = (_pack_light(state), None, None, None)
+        # NARUTO_SCAN_UNROLL=k replicates the loop body k times per XLA
+        # while-iteration — an A/B knob for the "scan carry plumbing"
+        # glue item (roadmap): unrolling amortizes the carry
+        # routing/DUS per body at the cost of a k-times-larger graph
+        # (and compile). Semantics identical for any k (body is indexed
+        # by `it`, not by position in the unrolled group).
         (light, pv, _, _), _ = jax.lax.scan(
-            outer, carry0, (jnp.arange(iters, dtype=jnp.int32), keys))
+            outer, carry0, (jnp.arange(iters, dtype=jnp.int32), keys),
+            unroll=int(os.environ.get("NARUTO_SCAN_UNROLL", "1")))
         state = _unpack_light(light)
 
         if opt_poses:

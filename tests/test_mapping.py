@@ -422,6 +422,32 @@ class TestMapperVariants:
         at_wall = mapper.predict_sdf(np.array([[0.0, 0.0, 1.5]]))
         assert near_cam[0] > at_wall[0]
 
+    def test_scan_unroll_matches_default(self, monkeypatch):
+        """NARUTO_SCAN_UNROLL=2 (BA-scan body replication, a carry-
+        plumbing A/B knob) must be semantically identical to the rolled
+        loop: the body keys off the scanned `it`, not unroll position."""
+        color = depth = None
+
+        def run(unroll):
+            nonlocal color, depth
+            if unroll:
+                monkeypatch.setenv("NARUTO_SCAN_UNROLL", unroll)
+            else:
+                monkeypatch.delenv("NARUTO_SCAN_UNROLL", raising=False)
+            cfg = tiny_cfg()
+            mapper = Mapper(cfg)
+            if color is None:
+                color, depth = _render_wall_frame(cfg)
+            c2w = np.eye(4, dtype=np.float32)
+            for i in range(4):
+                mapper.update_step(i)
+                mapper.online_recon_step(i, color, depth, c2w)
+            pts = np.array([[0.0, 0.0, 0.3], [0.0, 0.0, 1.5]])
+            return np.asarray(mapper.predict_sdf(pts))
+
+        np.testing.assert_allclose(run("2"), run(None), rtol=2e-5,
+                                   atol=2e-6)
+
 
 class TestFullStateResume:
     def test_resume_reproduces_run(self):
