@@ -261,6 +261,19 @@ class PlannerConfig:
     # budget the reference argmax (naruto_planner.py:462-510) re-spends
     # every plan. 0.0 disables.
     goal_repeat_penalty: float = 0.0
+    # Exploration mitigation #3 (DEVIATION, default off): when the
+    # learned-SDF line check flags a collision but a simulator ERP probe
+    # at the next pose reports >= this much real clearance (meters) and
+    # a valid-depth ratio within invalid_region_ratio_thre, allow the
+    # move. The reference's Replica combo is SDF-only
+    # (naruto_planner.py:573-575 — its probe-based variant is present
+    # but commented out), so a phantom wall hallucinated at the agent
+    # livelocks the FSM: raycast seed_1999 logged 142 collision->staying
+    # cycles with `sdf_free=False, invalid_ratio=0.000` and finished at
+    # 74.6% ratio vs 94.6-98.7% for the other seeds. The probe only
+    # fires when the SDF already said collision, so parity runs never
+    # pay it. 0.0 disables.
+    collision_sim_override: float = 0.0
 
 
 @dataclass

@@ -244,6 +244,7 @@ class NarutoPlanner:
             "goal_repeat_max": (rep[0][1] if rep else 0),
             "goal_repeat_vxl": (list(rep[0][0]) if rep else None),
             "collisions": self.stats["collisions"],
+            "collision_overrides": self.stats.get("collision_overrides", 0),
             "mask_refilters": self.stats["mask_refilters"],
             "mask_decays": self.stats.get("mask_decays", 0),
             "state_steps": dict(self.stats["state_steps"]),
@@ -348,6 +349,30 @@ class NarutoPlanner:
                         or invalid_ratio > thre or not sdf_free)
         else:
             detected = not sdf_free
+
+        override = self.pcfg.collision_sim_override
+        if detected and override > 0.0 and self.sim is not None:
+            # mitigation (schema: PlannerConfig.collision_sim_override):
+            # a phantom wall in the learned SDF cannot trap the agent in
+            # real free space — probe the simulator at the next pose
+            # (lazily; parity combos for MP3D/NARUTO probed above) and
+            # override the SDF verdict when the world shows clearance.
+            if np.isinf(dist_closest):
+                next_pose = cur_pose.copy()
+                next_pose[:3, 3] = next_pt_loc
+                _, _, _, erp_dist = self.sim.simulate(next_pose,
+                                                      return_erp=True)
+                erp_dist = np.asarray(erp_dist)
+                dist_closest = float(erp_dist.min())
+                invalid_ratio = float((erp_dist > 1e6).mean())
+            if dist_closest >= override and invalid_ratio <= thre:
+                self.stats["collision_overrides"] = \
+                    self.stats.get("collision_overrides", 0) + 1
+                self.printer(
+                    f"Collision OVERRIDDEN by sim probe (clearance="
+                    f"{dist_closest * 100:.1f}cm, invalid_ratio="
+                    f"{invalid_ratio:.3f})", self.step, "Planner")
+                return False
         if detected:
             self.printer(
                 f"Collision detected (sdf_free={sdf_free}, "

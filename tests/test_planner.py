@@ -378,3 +378,69 @@ class TestGoalRepeatPenalty:
             planner.state = "planning"
             planner.compute_next_state_pose(pose, [uncert, sdf])
         assert planner._goal_visits == {}
+
+
+class TestCollisionSimOverride:
+    """planner.collision_sim_override: a phantom wall in the learned SDF
+    (sdf_free=False) must not trap the agent when a simulator ERP probe
+    shows real clearance at the next pose — the raycast seed_1999
+    livelock (142 collision->staying cycles, all logged with
+    invalid_ratio=0.000). Default 0.0 keeps the reference's SDF-only
+    Replica combo (ref naruto_planner.py:573-575)."""
+
+    class _StubSim:
+        def __init__(self, min_dist, invalid_frac=0.0):
+            self.min_dist = min_dist
+            self.invalid_frac = invalid_frac
+            self.probes = 0
+
+        def simulate(self, pose, return_erp=False, **kw):
+            self.probes += 1
+            erp = np.full((8, 16), max(self.min_dist, 1.0), np.float32)
+            erp[0, 0] = self.min_dist
+            n_inv = int(round(self.invalid_frac * erp.size))
+            erp.flat[1:1 + n_inv] = 1e8
+            return None, None, None, erp
+
+    def _mk(self, override, sim):
+        cfg = deep_update(_planner_cfg(), {
+            "planner": {"collision_sim_override": override}})
+        planner = init_planner(cfg)
+        planner.init_data(cfg.mapper.bound_np)
+        planner.init_local_planner()
+        planner.update_sim(sim)
+        phantom = np.full(planner.vol_shape, -1.0, dtype=np.float32)
+        pose = np.eye(4, dtype=np.float32)
+        pose[:3, 3] = planner.vox2loc(np.array([15.0, 15, 10]))
+        nxt = planner.vox2loc(np.array([16.0, 15, 10]))
+        return planner, phantom, pose, nxt
+
+    def test_clear_probe_overrides_phantom(self):
+        sim = self._StubSim(min_dist=0.5)
+        planner, sdf, pose, nxt = self._mk(0.05, sim)
+        assert planner.detect_collision(sdf, pose, nxt) is False
+        assert sim.probes == 1
+        assert planner.stats_summary()["collision_overrides"] == 1
+
+    def test_tight_probe_keeps_collision(self):
+        sim = self._StubSim(min_dist=0.02)     # < 5cm real clearance
+        planner, sdf, pose, nxt = self._mk(0.05, sim)
+        assert planner.detect_collision(sdf, pose, nxt) is True
+
+    def test_invalid_region_keeps_collision(self):
+        sim = self._StubSim(min_dist=0.5, invalid_frac=0.9)
+        planner, sdf, pose, nxt = self._mk(0.05, sim)
+        assert planner.detect_collision(sdf, pose, nxt) is True
+
+    def test_default_off_never_probes(self):
+        sim = self._StubSim(min_dist=0.5)
+        planner, sdf, pose, nxt = self._mk(0.0, sim)
+        assert planner.detect_collision(sdf, pose, nxt) is True
+        assert sim.probes == 0
+
+    def test_free_sdf_never_probes(self):
+        sim = self._StubSim(min_dist=0.5)
+        planner, _, pose, nxt = self._mk(0.05, sim)
+        free = box_room_sdf(planner.vol_shape)
+        assert planner.detect_collision(free, pose, nxt) is False
+        assert sim.probes == 0
