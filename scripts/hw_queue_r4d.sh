@@ -34,6 +34,9 @@ bench_step() {
 
 bench_step "1. glue A/B: scan unroll=2" \
     NARUTO_SCAN_UNROLL=2 NARUTO_BENCH_TURBO=0
+bench_step "1b. turbo + scan unroll=2" \
+    NARUTO_SCAN_UNROLL=2 NARUTO_BENCH_TURBO=0 \
+    NARUTO_BENCH_CFG='{"training": {"smooth_every": 5, "n_samples_d": 12}}'
 
 if ! past_deadline; then
     echo "=== 2. seed_1999 simguard rescue (raycast, full budget)" \
