@@ -267,12 +267,14 @@ class PlannerConfig:
     # a valid-depth ratio within invalid_region_ratio_thre, allow the
     # move. The reference's Replica combo is SDF-only
     # (naruto_planner.py:573-575 — its probe-based variant is present
-    # but commented out), so a phantom wall hallucinated at the agent
-    # livelocks the FSM: raycast seed_1999 logged 142 collision->staying
-    # cycles with `sdf_free=False, invalid_ratio=0.000` and finished at
-    # 74.6% ratio vs 94.6-98.7% for the other seeds. The probe only
-    # fires when the SDF already said collision, so parity runs never
-    # pay it. 0.0 disables.
+    # but commented out), so it livelocks when the learned field closes
+    # a narrow real corridor: raycast seed_1999 got wedged ~12 cm from
+    # real geometry and the field's slightly inflated surfaces pushed
+    # every first-hop line below the 5 cm collision threshold — 142
+    # collision->staying cycles, 74.6% final ratio vs 94.6-98.7% for
+    # the other seeds (checkpoint replay: real clearance along the
+    # blocked lines was 5.5-25.5 cm). The probe only fires when the SDF
+    # already said collision, so parity runs never pay it. 0.0 disables.
     collision_sim_override: float = 0.0
 
 

@@ -353,10 +353,10 @@ class NarutoPlanner:
         override = self.pcfg.collision_sim_override
         if detected and override > 0.0 and self.sim is not None:
             # mitigation (schema: PlannerConfig.collision_sim_override):
-            # a phantom wall in the learned SDF cannot trap the agent in
-            # real free space — probe the simulator at the next pose
-            # (lazily; parity combos for MP3D/NARUTO probed above) and
-            # override the SDF verdict when the world shows clearance.
+            # the learned SDF cannot trap the agent in real free space —
+            # probe the simulator at the next pose (lazily; parity
+            # combos for MP3D/NARUTO probed above) and override the SDF
+            # verdict when the world shows clearance.
             if np.isinf(dist_closest):
                 next_pose = cur_pose.copy()
                 next_pose[:3, 3] = next_pt_loc
@@ -374,7 +374,14 @@ class NarutoPlanner:
                     f"{invalid_ratio:.3f})", self.step, "Planner")
                 return False
         if detected:
+            # only report probe values that were actually measured —
+            # Replica's parity combo never probes, and logging the 0.0
+            # default as "invalid_ratio=0.000" misled the r4 seed_1999
+            # diagnosis into reading it as a clear-space measurement
+            probe = (f"dist_closest={dist_closest:.3f}, "
+                     f"invalid_ratio={invalid_ratio:.3f}"
+                     if np.isfinite(dist_closest) else "sim unprobed")
             self.printer(
-                f"Collision detected (sdf_free={sdf_free}, "
-                f"invalid_ratio={invalid_ratio:.3f})", self.step, "Planner")
+                f"Collision detected (sdf_free={sdf_free}, {probe})",
+                self.step, "Planner")
         return detected
