@@ -58,6 +58,52 @@ from naruto_tpu.utils.printer import InfoPrinter
 # (compiles dominate cost on this backend), small steady-state waste
 CUR_BUCKETS = (512, 2048, 8192)
 
+
+class LazyVolumes:
+    """List-like [uncert_vol, sdf_vol] view that materializes numpy on
+    first read.
+
+    The mapping step dispatches BA + the dense volume query
+    asynchronously and hands the planner this view instead of blocking
+    on a device->host pull: planner states that never read the volumes
+    this step (the rotating/rotation-planning majority) never block the
+    host, and the BA device work overlaps the next simulator renders.
+    Values are identical to an eager pull — the dispatched query
+    captured this step's params (jax arrays are immutable), so
+    SURVEY §5.2's plan-consumes-this-step's-volumes dataflow holds
+    bit-for-bit. The wait, when a consumer DOES read, is timed as
+    [Mapper] volumes_wait."""
+
+    def __init__(self, u_dev, s_dev, timer=None):
+        self._dev = (u_dev, s_dev)
+        self._np = None
+        self._timer = timer
+
+    def ready(self) -> "LazyVolumes":
+        """Block until the DEVICE values exist (no host transfer) —
+        bounds the in-flight dispatch queue to one mapping step."""
+        if self._np is None:
+            jax.block_until_ready(self._dev)
+        return self
+
+    def _materialize(self):
+        if self._np is None:
+            if self._timer is not None:
+                with self._timer.time("volumes_wait", "Mapper"):
+                    self._np = [np.asarray(a) for a in self._dev]
+            else:
+                self._np = [np.asarray(a) for a in self._dev]
+        return self._np
+
+    def __getitem__(self, i):
+        return self._materialize()[i]
+
+    def __iter__(self):
+        return iter(self._materialize())
+
+    def __len__(self):
+        return 2
+
 class MapperState(NamedTuple):
     params: Dict
     map_opt_state: Dict      # {'embed': EmbedAdamState, 'decoder': optax}
@@ -251,6 +297,7 @@ class Mapper:
         # mirror is exact); bucket selection reads this instead of pulling
         # the device scalar every mapping step
         self._kf_count = 0
+        self._pending_vols: Optional[LazyVolumes] = None
         self.result_dir: Optional[str] = None
 
         # data-parallel BA: rays sharded over the 'data' mesh axis (VERDICT
@@ -831,7 +878,10 @@ class Mapper:
         return (uncert_map.reshape(self.vol_shape),
                 sdf.reshape(self.vol_shape))
 
-    def get_map_volumes(self) -> Tuple[np.ndarray, np.ndarray]:
+    def _volumes_device(self):
+        """Dispatch the dense volume query; returns DEVICE arrays (async —
+        nothing blocks here) and refreshes state.uncert_vol (device-side
+        alias consumed by the active ray sampler)."""
         if self._sharded_vol is not None:
             n = self.grid01.shape[0]
             sdf, um = self._sharded_vol(
@@ -842,7 +892,15 @@ class Mapper:
         else:
             u, s = self._vol_jit(self.state.params)
         self.state = self.state._replace(uncert_vol=jnp.asarray(u))
+        return u, s
+
+    def get_map_volumes(self) -> Tuple[np.ndarray, np.ndarray]:
+        u, s = self._volumes_device()
         return np.asarray(u), np.asarray(s)
+
+    def get_map_volumes_lazy(self) -> "LazyVolumes":
+        u, s = self._volumes_device()
+        return LazyVolumes(u, s, self.timer)
 
     # --------------------------------------------------------------- meshes
     def save_mesh(self, step: int, voxel_size: float = 0.05,
@@ -891,8 +949,9 @@ class Mapper:
                 or i % m.map_every == 0 or i % m.keyframe_every == 0)
 
     def online_recon_step(self, i: int, color, depth, c2w):
-        """One mapping step. Returns [uncert_vol, sdf_vol] (numpy) on mapping
-        steps, else None — same contract as coslam.py:537-633.
+        """One mapping step. Returns a list-like [uncert_vol, sdf_vol]
+        (LazyVolumes — numpy on first read) on mapping steps, else None —
+        same value contract as coslam.py:537-633.
 
         color/depth may be None when needs_frame(i) is False (the frame is
         not consumed on those steps)."""
@@ -929,7 +988,8 @@ class Mapper:
                                 depth_trunc=self.lw.depth_trunc,
                                 filter_depth=m.filter_depth))
             self._kf_count += 1
-            vols = self.get_map_volumes()
+            vols = self.get_map_volumes_lazy()
+            self._pending_vols = vols
         else:
             if self.track_enabled:
                 # constant-speed init, pose-only optimization (ref :597-602)
@@ -948,14 +1008,23 @@ class Mapper:
                 # and avoids a blocking device pull mid-step
                 bucket = self._pick_bucket(self._kf_count)
                 self.printer(f"Global BA (bucket={bucket})", i, "Mapper")
-                # async dispatch: "ba_dispatch" is enqueue time only; the
-                # device work is paid inside "volumes_pull", which blocks
-                # on the BA result before pulling the two volumes to host
+                # async pipeline: "ba_dispatch" is enqueue time only; the
+                # BA + volume-query device work overlaps the engine's
+                # next sim/planner steps and is only waited on when the
+                # planner reads the volumes ([Mapper] volumes_wait) —
+                # "ba_drain" first bounds the in-flight queue to ONE
+                # mapping step (device readiness of the previous query,
+                # no host transfer), so un-consumed steps can't pile up
+                # param versions on the device
+                if self._pending_vols is not None:
+                    with self._t("ba_drain"):
+                        self._pending_vols.ready()
                 with self._t("ba_dispatch"):
                     self.state = self._get_ba_jit(bucket)(
                         self.state, frame_rays, c2w, i, self._next_key())
-                with self._t("volumes_pull"):
-                    vols = self.get_map_volumes()
+                with self._t("volumes_dispatch"):
+                    vols = self.get_map_volumes_lazy()
+                self._pending_vols = vols
             if i % m.keyframe_every == 0:
                 with self._t("keyframe_add"):
                     self.state = self.state._replace(
@@ -964,7 +1033,7 @@ class Mapper:
                                         depth_trunc=self.lw.depth_trunc,
                                         filter_depth=m.filter_depth))
                 self._kf_count += 1
-        return list(vols) if vols is not None else None
+        return vols
 
     # ----------------------------------------------------------- query API
     def predict_sdf(self, pts_world: np.ndarray,

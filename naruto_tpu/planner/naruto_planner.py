@@ -104,14 +104,17 @@ class NarutoPlanner:
     # ----------------------------------------------------------------- API
     def main(self, uncert_sdf_vols: List[np.ndarray], cur_pose: np.ndarray,
              is_new_vols: bool) -> np.ndarray:
-        self.update_state(uncert_sdf_vols[1], cur_pose, is_new_vols)
+        self.update_state(uncert_sdf_vols, cur_pose, is_new_vols)
         self.printer(f"Current state: {self.state}", self.step, "Planner")
         ss = self.stats["state_steps"]
         ss[self.state] = ss.get(self.state, 0) + 1
         return self.compute_next_state_pose(cur_pose, uncert_sdf_vols)
 
     # --------------------------------------------------------- state update
-    def update_state(self, sdf_vol, cur_pose, is_new_vols) -> None:
+    def update_state(self, uncert_sdf_vols, cur_pose, is_new_vols) -> None:
+        # volumes may be a LazyVolumes view — index it only in the one
+        # branch that reads it, so rotating/planning transitions never
+        # force the device->host pull
         s = self.state
         if s == "planning":
             self.state = ("rotationPlanningAtStart" if self.is_goal_reachable
@@ -125,7 +128,8 @@ class NarutoPlanner:
                 self.state = "rotationPlanningAtGoal"
             else:
                 next_loc = self.vox2loc(self.path[-1])
-                if self.detect_collision(sdf_vol, cur_pose, next_loc):
+                if self.detect_collision(uncert_sdf_vols[1], cur_pose,
+                                         next_loc):
                     self.state = "staying"
                     self.stats["collisions"] += 1
         elif s == "rotationPlanningAtGoal":

@@ -444,3 +444,64 @@ class TestCollisionSimOverride:
         free = box_room_sdf(planner.vol_shape)
         assert planner.detect_collision(free, pose, nxt) is False
         assert sim.probes == 0
+
+
+class TestLazyVolumeConsumption:
+    """The engine hands the planner a LazyVolumes view (mapper.py); only
+    states that actually read the volumes may materialize it — the
+    rotating/rotation-planning majority must not block the host on the
+    device queue (PERFORMANCE.md host/device pipelining)."""
+
+    class _Guard:
+        """List-like volumes that record (or forbid) materialization."""
+        def __init__(self, vols):
+            self.vols = vols
+            self.reads = 0
+
+        def __getitem__(self, i):
+            self.reads += 1
+            return self.vols[i]
+
+        def __iter__(self):
+            self.reads += 1
+            return iter(self.vols)
+
+        def __len__(self):
+            return 2
+
+    def test_rotating_states_never_read_volumes(self):
+        planner = init_planner(_planner_cfg())
+        planner.init_data(planner.cfg.mapper.bound_np)
+        planner.init_local_planner()
+        sdf = box_room_sdf(planner.vol_shape)
+        uncert = np.zeros(planner.vol_shape, dtype=np.float32)
+        uncert[21:24, 21:24, 9:12] = 4.0
+        pose = np.eye(4, dtype=np.float32)
+        pose[:3, 3] = planner.vox2loc(np.array([15.0, 15, 10]))
+
+        reads_by_state = {}
+        for i in range(60):
+            planner.update_step(i)
+            guard = self._Guard([uncert, sdf])
+            state_before = planner.state
+            pose = planner.main(guard, pose, is_new_vols=(i == 0))
+            reads_by_state.setdefault(planner.state, 0)
+            reads_by_state[planner.state] += guard.reads
+        # every rotation-side state must have run AND read nothing
+        for s in ("rotationPlanningAtStart", "rotatingAtStart",
+                  "rotationPlanningAtGoal", "rotatingAtGoal"):
+            assert s in reads_by_state, (s, reads_by_state)
+            assert reads_by_state[s] == 0, (s, reads_by_state)
+        # the planning state must have read them (aggregation)
+        assert reads_by_state.get("planning", 0) > 0, reads_by_state
+
+    def test_mapper_returns_lazy_list_like(self):
+        from naruto_tpu.mapping.mapper import LazyVolumes
+        import jax.numpy as jnp
+
+        lv = LazyVolumes(jnp.ones((2, 2, 2)), jnp.zeros((2, 2, 2)))
+        assert len(lv) == 2
+        u, s = lv
+        assert u.shape == (2, 2, 2) and float(s.max()) == 0.0
+        assert isinstance(lv[0], np.ndarray)
+        lv.ready()   # idempotent after materialization
