@@ -336,6 +336,16 @@ class Mapper:
         self._sdf_query_jit = jax.jit(
             lambda params, x01: query_sdf(params, x01, self.spec,
                                           with_uncert=True))
+        # mesh-extraction vertex colors in ONE compiled program (metric
+        # verts in, clipped sigmoid RGB out) — the eager field_query the
+        # extractor used before dispatched every primitive separately on
+        # the remote backend, dominating [Mapper] mesh_snapshot
+        from naruto_tpu.mapping.field import field_query, normalize_world
+
+        self._color_query_jit = jax.jit(
+            lambda params, verts: jnp.clip(jax.nn.sigmoid(field_query(
+                params, normalize_world(verts, self.spec),
+                self.spec)[:, :3]), 0, 1))
 
     # ------------------------------------------------------------------ rng
     def _next_key(self):

@@ -20,8 +20,32 @@ from naruto_tpu.mesh.ply import write_ply
 MC_TRUNCATION = 3.0   # ref: coslam_utils.py:145 marching_cubes(..., 3.0)
 
 
+# Chunk size for the dense extraction queries. Large on purpose: on the
+# remote-dispatch backend every chunk is an upload + dispatch + download
+# ROUNDTRIP over the tunnel, and the old 128k chunking turned an
+# MP3D-scale snapshot (7.6M grid points) into ~58 serial roundtrips —
+# the dominant cost of the 50-94 s [Mapper] mesh_snapshot sections. 1M
+# points keep peak device memory modest (~hundreds of MB through the
+# field) while cutting the roundtrip count ~8x. The last chunk is
+# ZERO-PADDED to the full chunk size so every call hits ONE compiled
+# executable regardless of grid/vertex counts.
+EXTRACT_CHUNK = 1 << 20
+
+
+def _pad_rows(a: np.ndarray, chunk: int) -> np.ndarray:
+    """Pad rows up to the next power of two (capped at chunk) so the
+    query executables come from a log-size family instead of one per
+    distinct remainder size."""
+    n = a.shape[0]
+    tgt = 1 << max(int(np.ceil(np.log2(max(n, 1)))), 10)
+    tgt = min(tgt, chunk)
+    if n >= tgt:
+        return a
+    return np.concatenate([a, np.zeros((tgt - n,) + a.shape[1:], a.dtype)])
+
+
 def _dense_sdf(mapper, bound: np.ndarray, voxel_size: float,
-               chunk: int = 1 << 17):
+               chunk: int = EXTRACT_CHUNK):
     tx, ty, tz = voxel_axes(bound, voxel_size)
     shape = (len(tx), len(ty), len(tz))
     gx, gy, gz = np.meshgrid(tx, ty, tz, indexing="ij")
@@ -29,27 +53,29 @@ def _dense_sdf(mapper, bound: np.ndarray, voxel_size: float,
 
     field_bound = mapper.spec.bound_np
     x01 = (pts - field_bound[:, 0]) / (field_bound[:, 1] - field_bound[:, 0])
-    sdf = np.empty(pts.shape[0], dtype=np.float32)
-    uncert = np.empty(pts.shape[0], dtype=np.float32)
-    for s in range(0, pts.shape[0], chunk):
-        sd, un = mapper._sdf_query_jit(mapper.state.params,
-                                       jnp.asarray(x01[s:s + chunk]))
-        sdf[s:s + chunk] = np.asarray(sd)
-        uncert[s:s + chunk] = np.asarray(un)
+    n = pts.shape[0]
+    sdf = np.empty(n, dtype=np.float32)
+    uncert = np.empty(n, dtype=np.float32)
+    for s in range(0, n, chunk):
+        m = min(chunk, n - s)
+        sd, un = mapper._sdf_query_jit(
+            mapper.state.params, jnp.asarray(_pad_rows(x01[s:s + m], chunk)))
+        sdf[s:s + m] = np.asarray(sd)[:m]
+        uncert[s:s + m] = np.asarray(un)[:m]
     return sdf.reshape(shape), uncert.reshape(shape), (tx, ty, tz)
 
 
 def _query_colors(mapper, verts_metric: np.ndarray,
-                  chunk: int = 1 << 17) -> np.ndarray:
-    from naruto_tpu.mapping.field import field_query, normalize_world
-
-    out = np.empty((verts_metric.shape[0], 3), dtype=np.float32)
-    for s in range(0, verts_metric.shape[0], chunk):
-        x01 = normalize_world(jnp.asarray(verts_metric[s:s + chunk]),
-                              mapper.spec)
-        raw = field_query(mapper.state.params, x01, mapper.spec)
-        out[s:s + chunk] = np.asarray(
-            jnp.clip(1 / (1 + jnp.exp(-raw[:, :3])), 0, 1))
+                  chunk: int = EXTRACT_CHUNK) -> np.ndarray:
+    n = verts_metric.shape[0]
+    out = np.empty((n, 3), dtype=np.float32)
+    for s in range(0, n, chunk):
+        m = min(chunk, n - s)
+        rgb = mapper._color_query_jit(
+            mapper.state.params,
+            jnp.asarray(_pad_rows(
+                verts_metric[s:s + m].astype(np.float32), chunk)))
+        out[s:s + m] = np.asarray(rgb)[:m]
     return out
 
 
