@@ -103,3 +103,64 @@ class TestPly:
         np.testing.assert_allclose(v, verts)
         np.testing.assert_array_equal(f, faces)
         assert c is None
+
+
+class TestExtractChunking:
+    """The dense-extraction queries chunk at EXTRACT_CHUNK points and
+    zero-pad the tail chunk to a power-of-two family of static shapes
+    (mesh/extract.py:_pad_rows; the r4 remote-dispatch batching). Chunked
+    + padded results must be bit-identical to a single unchunked query."""
+
+    def _mapper(self):
+        from naruto_tpu.config import make_config
+        from naruto_tpu.config.schema import deep_update
+        from naruto_tpu.mapping.mapper import Mapper
+
+        bound = ((-1.0, 1.0), (-1.0, 1.0), (-1.0, 1.0))
+        cfg = make_config("Replica", "office0", num_iter=10)
+        cfg = deep_update(cfg, {
+            "cam": {"H": 24, "W": 32, "fx": 20.0, "fy": 20.0, "cx": 15.5,
+                    "cy": 11.5, "far": 5.0},
+            "grid": {"n_levels": 4, "hash_size": 12, "voxel_sdf": 0.1},
+            "mapper": {"sample": 64, "iters": 2, "first_iters": 2,
+                       "min_pixels_cur": 4, "act_ray_num_uncert_sample": 8,
+                       "bound": bound, "marching_cubes_bound": bound,
+                       "voxel_size": 0.5},
+            "training": {"n_samples_d": 8, "n_range_d": 5, "smooth_pts": 4},
+        })
+        return Mapper(cfg)
+
+    def test_dense_sdf_chunked_equals_unchunked(self):
+        from naruto_tpu.mesh.extract import _dense_sdf
+
+        mapper = self._mapper()
+        bound = np.asarray(mapper.cfg.mapper.marching_cubes_bound,
+                           dtype=np.float32)
+        # voxel 0.16 -> 13x13x13 = 2197 points: one full 1024 chunk plus
+        # two tails (1024 + 149-pad), exercising multi-chunk AND padding
+        big, bu, _ = _dense_sdf(mapper, bound, 0.16, chunk=1 << 22)
+        sml, su, _ = _dense_sdf(mapper, bound, 0.16, chunk=1024)
+        np.testing.assert_array_equal(big, sml)
+        np.testing.assert_array_equal(bu, su)
+
+    def test_query_colors_chunked_equals_unchunked(self):
+        from naruto_tpu.mesh.extract import _query_colors
+
+        mapper = self._mapper()
+        rng = np.random.default_rng(3)
+        verts = rng.uniform(-0.9, 0.9, size=(1500, 3)).astype(np.float32)
+        big = _query_colors(mapper, verts, chunk=1 << 22)
+        sml = _query_colors(mapper, verts, chunk=1024)
+        np.testing.assert_array_equal(big, sml)
+
+    def test_pad_rows_family(self):
+        from naruto_tpu.mesh.extract import _pad_rows
+
+        a = np.ones((1500, 3), np.float32)
+        p = _pad_rows(a, 1 << 20)
+        assert p.shape == (2048, 3)          # next power of two
+        np.testing.assert_array_equal(p[:1500], a)
+        assert (p[1500:] == 0).all()
+        assert _pad_rows(a, 1024).shape == (1500, 3)   # cap: no shrink-pad
+        assert _pad_rows(np.ones((7, 3), np.float32),
+                         1 << 20).shape == (1024, 3)   # floor at 2**10
