@@ -254,12 +254,16 @@ class PlannerConfig:
     # coverage (the weak-seed diagnosis, VERDICT r3 #6). 0 disables.
     trav_mask_decay: int = 0
     # Exploration mitigation #2 (DEVIATION, default off): scale each
-    # goal's aggregated uncertainty by 1/(1 + p*times_already_chosen)
-    # before the argmax. The r4 raycast-seed diagnostics show weak seeds
+    # goal's aggregated uncertainty by 1/(1 + p*attempts) before the
+    # argmax, where attempts = times chosen + move-time collisions while
+    # pursuing it. The r4 raycast-seed diagnostics show weak seeds
     # re-selecting ONE goal up to 9/41 plans (its uncertainty never
-    # resolves — e.g. unobservable from the reachable side), burning
-    # budget the reference argmax (naruto_planner.py:462-510) re-spends
-    # every plan. 0.0 disables.
+    # resolves — e.g. unobservable from the reachable side), and the
+    # seed_1999 livelock re-plans one truly-impassable goal 159x through
+    # a collision->staying cycle the traversability mask never sees
+    # (RRT succeeds on the optimistic learned SDF, so the mask is never
+    # rebuilt); the reference argmax (naruto_planner.py:462-510)
+    # re-spends that budget every plan. 0.0 disables.
     goal_repeat_penalty: float = 0.0
     # Exploration mitigation #3 (DEVIATION, default off): when the
     # learned-SDF line check flags a collision but a simulator ERP probe

@@ -59,6 +59,7 @@ class NarutoPlanner:
                             "collisions": 0, "mask_refilters": 0,
                             "mask_decays": 0}
         self._goal_visits: Dict = {}    # goal-space index -> times chosen
+        self._last_goal_gi = None       # goal-space index of current plan
 
     # -------------------------------------------------------------- wiring
     def update_step(self, step: int) -> None:
@@ -132,6 +133,16 @@ class NarutoPlanner:
                                          next_loc):
                     self.state = "staying"
                     self.stats["collisions"] += 1
+                    if (self.pcfg.goal_repeat_penalty > 0.0
+                            and self._last_goal_gi is not None):
+                        # a collision is a FAILED attempt at this goal:
+                        # charge it a visit so the repeat penalty accrues
+                        # per attempt, not per choice (the seed_1999
+                        # livelock re-plans the same truly-impassable
+                        # goal 159x; choice-only accrual discounts it
+                        # too slowly to break the loop)
+                        self._goal_visits[self._last_goal_gi] = \
+                            self._goal_visits.get(self._last_goal_gi, 0) + 1
         elif s == "rotationPlanningAtGoal":
             self.state = "rotatingAtGoal"
         elif s == "rotatingAtGoal":
@@ -284,6 +295,7 @@ class NarutoPlanner:
 
         flat_idx = int(gs_aggre.argmax())
         gi = np.unravel_index(flat_idx, gs_aggre.shape)
+        self._last_goal_gi = gi
         if pen > 0.0:
             self._goal_visits[gi] = self._goal_visits.get(gi, 0) + 1
         goal_vxl = np.array([self.goal_space.x_range[gi[0]],

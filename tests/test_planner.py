@@ -357,6 +357,37 @@ class TestGoalRepeatPenalty:
         # the same goal is never chosen three times in a row under p=1.0
         assert len(set(goals)) >= 2
 
+    def test_collision_charges_a_visit(self):
+        """A move-time collision counts as a failed ATTEMPT at the current
+        goal: the penalty accrues without re-choosing it, so a
+        collision->staying->replan livelock (raycast seed_1999: 159 plans
+        of one truly-impassable goal, trav mask never rebuilt because RRT
+        succeeds on the optimistic SDF) discounts the goal away."""
+        cfg = deep_update(_planner_cfg(),
+                          {"planner": {"goal_repeat_penalty": 1.0}})
+        planner = init_planner(cfg)
+        planner.init_data(cfg.mapper.bound_np)
+        planner.init_local_planner()
+        shape = planner.vol_shape
+        sdf = box_room_sdf(shape)
+        uncert = np.zeros(shape, dtype=np.float32)
+        uncert[22, 22, 10] = 5.0
+        pose = np.eye(4, dtype=np.float32)
+        pose[:3, 3] = planner.vox2loc(np.array([15.0, 15, 10]))
+
+        planner.update_step(0)
+        planner.state = "planning"
+        planner.compute_next_state_pose(pose, [uncert, sdf])
+        gi = planner._last_goal_gi
+        assert planner._goal_visits[gi] == 1   # charged at choice
+
+        # steer the next hop into a wall voxel: the line check collides
+        planner.state = "movingToGoal"
+        planner.path = [np.array([0.0, 15.0, 10.0])]
+        planner.update_state([uncert, sdf], pose, is_new_vols=True)
+        assert planner.state == "staying"
+        assert planner._goal_visits[gi] == 2   # charged again on collision
+
     def test_penalty_off_tracks_nothing(self):
         """Default p=0.0 keeps the exact reference argmax: no visit
         tracking, no score modification. (Goal IDENTITY between plans
