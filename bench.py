@@ -151,7 +151,9 @@ def main() -> None:
     if env_over:
         cfg = deep_update(cfg, json.loads(env_over))
 
-    n_steps = int(os.environ.get("NARUTO_BENCH_STEPS", "20"))
+    # 60 chained steps (600 iterations, ~10 s measured) — the r4 queue's
+    # window; the old 20-step default added ~±4% run-to-run jitter.
+    n_steps = int(os.environ.get("NARUTO_BENCH_STEPS", "60"))
     parity = _measure(cfg, n_steps)
     iters_per_sec = parity.pop("iters_per_sec")
 
