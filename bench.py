@@ -98,6 +98,17 @@ def _measure(cfg, n_steps: int) -> dict:
         jax.tree_util.tree_leaves(mapper.state.params["table"])[0])
     compile_s = time.perf_counter() - t0
 
+    # steady-state warmup: execution immediately after a COLD remote
+    # compile reads ~20% slow on this backend (r4e bracket: 50.39 it/s
+    # right after the 83 s compile vs 63.91 at session end on the
+    # bit-identical executable — PERFORMANCE.md round-4 progression).
+    # A short untimed chain lets the service settle before the window.
+    for i in range(10):
+        mapper.state = ba(mapper.state, frame_rays, jnp.asarray(c2w),
+                          100 + i, jax.random.PRNGKey(100 + i))
+    float(jax.tree_util.tree_leaves(
+        mapper.state.params["table"])[0].ravel()[0])
+
     # timed steps. NOTE: this backend's block_until_ready can return before
     # remote execution completes; pulling a scalar to the host forces true
     # completion (verified against wall-clock of long runs). The pull
