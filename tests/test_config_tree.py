@@ -146,3 +146,10 @@ def test_shipped_preset_semantics():
     decay = load_config(
         os.path.join(REPO, "configs", "ab", "office0_decay.yaml"))
     assert decay.planner.trav_mask_decay == 10
+
+    # composed livelock rescue (PERFORMANCE.md "Rescue trial 2":
+    # seed_1999 74.59 -> 99.30% ratio) — both flags must land together
+    rescue = load_config(
+        os.path.join(REPO, "configs", "ab", "office0_rescue.yaml"))
+    assert rescue.planner.collision_sim_override == 0.05
+    assert rescue.planner.goal_repeat_penalty == 1.0
