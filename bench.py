@@ -58,6 +58,7 @@ def _acquire_device_or_die(timeout_s: float) -> None:
 def _measure(cfg, n_steps: int) -> dict:
     """Build a Mapper at `cfg`, drive the keyframe DB to steady state, and
     time `n_steps` chained BA steps. Returns the measurement dict."""
+    import os
     import time
 
     import jax
@@ -103,7 +104,8 @@ def _measure(cfg, n_steps: int) -> dict:
     # right after the 83 s compile vs 63.91 at session end on the
     # bit-identical executable — PERFORMANCE.md round-4 progression).
     # A short untimed chain lets the service settle before the window.
-    for i in range(10):
+    # NARUTO_BENCH_SETTLE overrides the length (0 for quick smoke benches).
+    for i in range(int(os.environ.get("NARUTO_BENCH_SETTLE", "10"))):
         mapper.state = ba(mapper.state, frame_rays, jnp.asarray(c2w),
                           100 + i, jax.random.PRNGKey(100 + i))
     float(jax.tree_util.tree_leaves(

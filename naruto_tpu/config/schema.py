@@ -280,6 +280,14 @@ class PlannerConfig:
     # blocked lines was 5.5-25.5 cm). The probe only fires when the SDF
     # already said collision, so parity runs never pay it. 0.0 disables.
     collision_sim_override: float = 0.0
+    # DEVIATION #12 (default ON, PARITY.md): draw the 300-target subset
+    # of the top-k uncertain voxels weighted toward NONZERO entries, so
+    # sparse uncertainty volumes still yield usable targets. The
+    # reference takes an arbitrary argpartition slice of the top-k
+    # (naruto_planner.py:625-630) — an unweighted, order-unspecified
+    # subset. False = exact-reference semantics (uniform unweighted
+    # draw from the top-k).
+    subset_nonzero_weighted: bool = True
 
 
 @dataclass

@@ -8,9 +8,10 @@ Parity with src/slam/export_pose.py:45-63 (dumps ckpt['pose'] to a stacked
 from __future__ import annotations
 
 import argparse
-import pickle
 
 import numpy as np
+
+from naruto_tpu.utils import ckpt_io
 
 
 def main(argv=None):
@@ -21,9 +22,15 @@ def main(argv=None):
                    help="only export the first N poses")
     args = p.parse_args(argv)
 
-    with open(args.ckpt, "rb") as f:
-        blob = pickle.load(f)
-    poses = np.asarray(blob["poses"])
+    if ckpt_io.is_legacy_pickle(args.ckpt):
+        blob = ckpt_io.load_legacy_pickle(args.ckpt)
+        poses = np.asarray(blob["poses"])
+    else:
+        arrays, _ = ckpt_io.load_arrays(args.ckpt)
+        key = [k for k in arrays if k.rstrip("]'").endswith("poses")]
+        if not key:
+            raise KeyError(f"no poses leaf in {args.ckpt}: {list(arrays)}")
+        poses = np.asarray(arrays[key[0]])
     if args.num:
         poses = poses[:args.num]
     np.save(args.out, poses)

@@ -1062,17 +1062,15 @@ class Mapper:
     # ----------------------------------------------------------- checkpoint
     def save_ckpt(self, path: str) -> None:
         """Poses + field params + optimizer-free state (ref save_ckpt
-        coslam.py:494-517 stores {pose, pose_rel, model})."""
-        import pickle
-        state_np = jax.tree_util.tree_map(np.asarray, {
-            "params": self.state.params,
-            "poses": self.state.poses,
-            "step": self.step,
-        })
-        import os
-        os.makedirs(os.path.dirname(os.path.abspath(path)), exist_ok=True)
-        with open(path, "wb") as f:
-            pickle.dump(state_np, f)
+        coslam.py:494-517 stores {pose, pose_rel, model}). Format: versioned
+        npz (utils/ckpt_io.py) — pickle-free; legacy pickle still loads."""
+        from naruto_tpu.utils import ckpt_io
+
+        ckpt_io.save_tree(
+            path,
+            {"params": self.state.params, "poses": self.state.poses},
+            meta={"kind": "eval_ckpt", "step": int(self.step),
+                  "grid_layout": getattr(self.cfg.grid, "layout", "?")})
 
     def _check_param_compat(self, loaded_params: Dict) -> None:
         """Fail fast with a config hint when a checkpoint was written under
@@ -1096,49 +1094,71 @@ class Mapper:
                 "that wrote it): " + "; ".join(mism))
 
     def load_ckpt(self, path: str) -> None:
-        import pickle
-        with open(path, "rb") as f:
-            blob = pickle.load(f)
+        from naruto_tpu.utils import ckpt_io
+
+        if ckpt_io.is_legacy_pickle(path):
+            blob = ckpt_io.load_legacy_pickle(path)
+            step = int(blob.get("step", 0))
+            blob = {"params": blob["params"], "poses": blob["poses"]}
+        else:
+            template = {"params": self.state.params,
+                        "poses": self.state.poses}
+            blob, meta = ckpt_io.load_tree(path, template)
+            step = int(meta.get("step", 0))
         self._check_param_compat(blob["params"])
         params = jax.tree_util.tree_map(jnp.asarray, blob["params"])
         poses = jnp.asarray(blob["poses"])
         self.state = self.state._replace(params=params, poses=poses)
-        self.step = int(blob.get("step", 0))
+        self.step = step
 
     # ---------------------------------------------------- full-state resume
     # The reference writes checkpoints only for evaluation (no mid-run
     # resume — SURVEY.md §5.4). Since all mapper state is one pytree,
     # true resume is cheap here and provided as an extension.
-    def save_full_state(self, path: str) -> None:
-        import os
-        import pickle
+    def save_full_state(self, path: str, extra: Optional[Dict] = None
+                        ) -> None:
+        """Full pytree snapshot as versioned npz. `extra` is a small
+        JSON-able dict stored in the header (e.g. the planner's goal-repeat
+        penalty state — ADVICE r4: resuming a rescue-config run must not
+        silently reset accrued penalties)."""
+        from naruto_tpu.utils import ckpt_io
 
-        blob = jax.tree_util.tree_map(np.asarray, self.state._asdict())
-        blob["__step__"] = self.step
-        os.makedirs(os.path.dirname(os.path.abspath(path)), exist_ok=True)
-        with open(path, "wb") as f:
-            pickle.dump(blob, f)
+        meta = {"kind": "full_state", "step": int(self.step),
+                "grid_layout": getattr(self.cfg.grid, "layout", "?")}
+        if extra:
+            meta["extra"] = extra
+        ckpt_io.save_tree(path, self.state._asdict(), meta=meta)
 
-    def load_full_state(self, path: str) -> None:
-        import pickle
+    def load_full_state(self, path: str) -> Dict:
+        """Restore a full-state snapshot. Returns the header's `extra` dict
+        (planner mitigation state etc.; empty for legacy/plain blobs)."""
+        from naruto_tpu.utils import ckpt_io
 
-        with open(path, "rb") as f:
-            blob = pickle.load(f)
-        self._check_param_compat(blob["params"])
-        # optimizer-state layout changes (e.g. the optax multi_transform ->
-        # {embed: EmbedAdamState, decoder: optax} split) would otherwise
-        # pass the param check and die with an opaque indexing error deep
-        # inside the first jitted BA step
-        tu = jax.tree_util
-        ref_struct = tu.tree_structure(self.state.map_opt_state)
-        got_struct = tu.tree_structure(blob.get("map_opt_state"))
-        if got_struct != ref_struct:
-            raise ValueError(
-                "checkpoint optimizer state layout differs from this "
-                f"build (ckpt {got_struct} vs configured {ref_struct}) — "
-                "the full-state blob was written by an older version; "
-                "re-run from scratch or load params only via load_ckpt()")
-        self.step = int(blob.pop("__step__", 0))
+        if ckpt_io.is_legacy_pickle(path):
+            blob = ckpt_io.load_legacy_pickle(path)
+            self._check_param_compat(blob["params"])
+            # optimizer-state layout changes (e.g. the optax
+            # multi_transform -> {embed: EmbedAdamState, decoder: optax}
+            # split) would otherwise pass the param check and die with an
+            # opaque indexing error deep inside the first jitted BA step
+            tu = jax.tree_util
+            ref_struct = tu.tree_structure(self.state.map_opt_state)
+            got_struct = tu.tree_structure(blob.get("map_opt_state"))
+            if got_struct != ref_struct:
+                raise ValueError(
+                    "checkpoint optimizer state layout differs from this "
+                    f"build (ckpt {got_struct} vs configured {ref_struct}) "
+                    "— the full-state blob was written by an older "
+                    "version; re-run from scratch or load params only via "
+                    "load_ckpt()")
+            self.step = int(blob.pop("__step__", 0))
+            extra: Dict = {}
+        else:
+            blob, meta = ckpt_io.load_tree(path, self.state._asdict())
+            self._check_param_compat(blob["params"])
+            self.step = int(meta.get("step", 0))
+            extra = meta.get("extra", {})
         state = jax.tree_util.tree_map(jnp.asarray, blob)
         self.state = MapperState(**state)
         self._kf_count = int(self.state.kf.count)
+        return extra

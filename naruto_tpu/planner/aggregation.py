@@ -67,7 +67,8 @@ class AggregationOutputs(NamedTuple):
 def make_aggregator(vol_shape, gs: GoalSpace, voxel_size: float,
                     top_k: int = 4000, subset: int = 300,
                     sensing_range=(0.5, 2.0), safe_sdf: float = 0.8,
-                    n_vis_pts: int = 30, goal_chunk: int = 2048):
+                    n_vis_pts: int = 30, goal_chunk: int = 2048,
+                    subset_nonzero_weighted: bool = True):
     """Build the jitted aggregation fn for a fixed volume/goal-space shape.
 
     Goals are processed in chunks of `goal_chunk` via lax.map: the dense
@@ -114,13 +115,20 @@ def make_aggregator(vol_shape, gs: GoalSpace, voxel_size: float,
         top_vals, top_idx = jax.lax.top_k(flat, k_eff)
         # random subset of the top-k (the reference takes an arbitrary
         # argpartition slice — naruto_planner.py:625-630 — to avoid goal
-        # concentration). Improvement: weight the draw toward NONZERO
-        # entries so sparse uncertainty volumes still yield usable targets.
-        nz = (top_vals > 0).astype(jnp.float32)
-        p = jnp.where(jnp.sum(nz) >= subset_eff, nz,
-                      jnp.ones_like(nz)) + 1e-9
-        sel = jax.random.choice(key, k_eff, (subset_eff,), replace=False,
-                                p=p / jnp.sum(p))
+        # concentration). DEVIATION #12 (PARITY.md, default ON,
+        # planner.subset_nonzero_weighted): weight the draw toward
+        # NONZERO entries so sparse uncertainty volumes still yield
+        # usable targets; False = unweighted draw, matching the
+        # reference's arbitrary unweighted slice semantics.
+        if subset_nonzero_weighted:
+            nz = (top_vals > 0).astype(jnp.float32)
+            p = jnp.where(jnp.sum(nz) >= subset_eff, nz,
+                          jnp.ones_like(nz)) + 1e-9
+            sel = jax.random.choice(key, k_eff, (subset_eff,),
+                                    replace=False, p=p / jnp.sum(p))
+        else:
+            sel = jax.random.choice(key, k_eff, (subset_eff,),
+                                    replace=False)
         chosen = top_idx[sel]
         tx = chosen // (Y * Z)
         ty = (chosen // Z) % Y

@@ -65,6 +65,27 @@ class NarutoPlanner:
     def update_step(self, step: int) -> None:
         self.step = step
 
+    # ------------------------------------------------- mitigation state IO
+    # ADVICE r4: the goal-repeat penalty counters are load-bearing under the
+    # rescue config; a full-state resume that resets them can re-enter the
+    # exact livelock the mitigation breaks. Engine persists this dict in
+    # the checkpoint header and restores it on resume.
+    def export_state(self) -> Dict:
+        # goal indices are 3-tuples (unravel_index of the goal-space
+        # argmax) — serialize as "x,y,z" keys / [x,y,z] lists for JSON
+        return {"goal_visits": {",".join(str(int(i)) for i in k): int(v)
+                                for k, v in self._goal_visits.items()},
+                "last_goal_gi": (None if self._last_goal_gi is None
+                                 else [int(i) for i in self._last_goal_gi])}
+
+    def restore_state(self, blob: Dict) -> None:
+        self._goal_visits = {
+            tuple(int(i) for i in k.split(",")): int(v)
+            for k, v in blob.get("goal_visits", {}).items()}
+        gi = blob.get("last_goal_gi")
+        self._last_goal_gi = None if gi is None else tuple(
+            int(i) for i in gi)
+
     def update_sim(self, sim) -> None:
         self.sim = sim
 
@@ -81,7 +102,8 @@ class NarutoPlanner:
             top_k=self.pcfg.uncert_top_k,
             subset=self.pcfg.uncert_top_k_subset,
             sensing_range=tuple(self.pcfg.gs_sensing_range),
-            safe_sdf=self.pcfg.safe_sdf)
+            safe_sdf=self.pcfg.safe_sdf,
+            subset_nonzero_weighted=self.pcfg.subset_nonzero_weighted)
         self.traversability_mask = np.ones(self.vol_shape, dtype=np.float32)
 
     def init_local_planner(self) -> None:

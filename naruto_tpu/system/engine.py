@@ -160,9 +160,12 @@ class Engine:
                         self.uncert_sdf, np.asarray(c2w), new_vols is not None)
 
             if cfg.general.ckpt_freq and i > 0 and i % cfg.general.ckpt_freq == 0:
+                extra = ({"planner": self.planner.export_state()}
+                         if hasattr(self.planner, "export_state") else None)
                 self.mapper.save_full_state(os.path.join(
                     cfg.general.result_dir, cfg.general.dataset,
-                    cfg.general.scene, "full_state_latest.pkl"))
+                    cfg.general.scene, "full_state_latest.pkl"),
+                    extra=extra)
         if prefetcher is not None:
             prefetcher.close()
         return np.asarray(c2w)

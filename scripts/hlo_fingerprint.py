@@ -1,7 +1,14 @@
 """Lower the bench BA graph (bucket 512) to StableHLO text and print a
-hash + size, so two code revisions can be compared without a device."""
+hash + size, so two code revisions can be compared without a device.
+
+Usage: python scripts/hlo_fingerprint.py <repo_root> <label>
+"""
 import hashlib
+import os
 import sys
+
+if len(sys.argv) != 3:
+    sys.exit("usage: hlo_fingerprint.py <repo_root> <label>")
 
 import jax
 
@@ -39,5 +46,6 @@ lowered = ba.lower(mapper.state, frame_rays, jnp.asarray(c2w), 110,
 txt = lowered.as_text()
 print(sys.argv[2], "bucket", bucket, "len", len(txt),
       "sha", hashlib.sha256(txt.encode()).hexdigest()[:16])
-with open(f"/tmp/hlo_{sys.argv[2]}.txt", "w") as f:
+label = os.path.basename(sys.argv[2])
+with open(f"/tmp/hlo_{label}.txt", "w") as f:
     f.write(txt)

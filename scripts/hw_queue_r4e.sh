@@ -25,7 +25,11 @@ DEADLINE_UTC="${DEADLINE_UTC:-09:30}"
 echo "[r4e] up $(date -u) deadline=$DEADLINE_UTC" | tee -a "$LOG"
 
 past_deadline() {
-    [ "$(date -u +%H:%M)" \> "$DEADLINE_UTC" ]
+    # epoch compare (ADVICE r4: HH:MM string compare wraps at midnight).
+    # DEADLINE_UTC may be HH:MM (today) or a full date string.
+    local dl
+    dl=$(date -u -d "$DEADLINE_UTC" +%s 2>/dev/null) || return 1
+    [ "$(date -u +%s)" -gt "$dl" ]
 }
 
 bench_step() {

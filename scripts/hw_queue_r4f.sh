@@ -19,7 +19,11 @@ DEADLINE_UTC="${DEADLINE_UTC:-12:45}"
 echo "[r4f] up $(date -u) deadline=$DEADLINE_UTC" | tee -a "$LOG"
 
 past_deadline() {
-    [ "$(date -u +%H:%M)" \> "$DEADLINE_UTC" ]
+    # epoch compare (ADVICE r4: HH:MM string compare wraps at midnight).
+    # DEADLINE_UTC may be HH:MM (today) or a full date string.
+    local dl
+    dl=$(date -u -d "$DEADLINE_UTC" +%s 2>/dev/null) || return 1
+    [ "$(date -u +%s)" -gt "$dl" ]
 }
 
 # 0. wait for the r4e queue to exit (watch only — never kill by pattern)

@@ -156,6 +156,41 @@ class TestAggregation:
         aggre = np.asarray(out.gs_aggre)
         assert aggre[0, 0, 0] == 0.0
 
+    def test_subset_weighting_flag(self):
+        """PARITY deviation #12: default draws the target subset weighted
+        toward NONZERO top-k entries; subset_nonzero_weighted=False is the
+        exact-reference fallback (unweighted arbitrary slice of the top-k,
+        ref naruto_planner.py:625-630)."""
+        shape = (20, 20, 12)
+        sdf = box_room_sdf(shape)
+        uncert = np.zeros(shape, dtype=np.float32)
+        # 8 nonzero uncertain voxels in a volume of 4800: an unweighted
+        # 8-of-400 draw almost surely misses most of them; the weighted
+        # draw must hit all 8.
+        nz_idx = [(10, 10, 6), (11, 10, 6), (10, 11, 6), (11, 11, 6),
+                  (9, 10, 6), (10, 9, 6), (9, 9, 6), (11, 9, 6)]
+        for i, j, k in nz_idx:
+            uncert[i, j, k] = 5.0
+        gs = make_goal_space(shape, 0.1, gs_z_levels=[6])
+
+        def chosen_nonzero(weighted):
+            agg_fn = make_aggregator(
+                shape, gs, 0.1, top_k=400, subset=8,
+                sensing_range=(0.0, 2.0), safe_sdf=0.8,
+                subset_nonzero_weighted=weighted)
+            out = agg_fn(uncert, sdf, jax.random.PRNGKey(3))
+            tv = np.asarray(out.topk_vxl)
+            return sum(uncert[tuple(v)] > 0 for v in tv)
+
+        assert chosen_nonzero(True) == 8     # all picks land on signal
+        assert chosen_nonzero(False) <= 4    # reference draw mostly misses
+
+    def test_subset_flag_threads_from_config(self):
+        cfg = deep_update(_planner_cfg(),
+                          {"planner": {"subset_nonzero_weighted": False}})
+        pl = init_planner(cfg)
+        assert pl.pcfg.subset_nonzero_weighted is False
+
 
 def _planner_cfg():
     cfg = make_config("Replica", "office0", num_iter=100)
