@@ -367,8 +367,7 @@ class NarutoPlanner:
         if self.sim is not None and dataset in ("MP3D", "NARUTO"):
             next_pose = cur_pose.copy()
             next_pose[:3, 3] = next_pt_loc
-            _, _, _, erp_dist = self.sim.simulate(next_pose, return_erp=True)
-            erp_dist = np.asarray(erp_dist)
+            erp_dist = np.asarray(self.sim.probe_erp_dist(next_pose))
             dist_closest = float(erp_dist.min())
             invalid_ratio = float((erp_dist > 1e6).mean())
 
@@ -398,9 +397,7 @@ class NarutoPlanner:
             if np.isinf(dist_closest):
                 next_pose = cur_pose.copy()
                 next_pose[:3, 3] = next_pt_loc
-                _, _, _, erp_dist = self.sim.simulate(next_pose,
-                                                      return_erp=True)
-                erp_dist = np.asarray(erp_dist)
+                erp_dist = np.asarray(self.sim.probe_erp_dist(next_pose))
                 dist_closest = float(erp_dist.min())
                 invalid_ratio = float((erp_dist > 1e6).mean())
             if dist_closest >= override and invalid_ratio <= thre:

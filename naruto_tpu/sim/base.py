@@ -32,3 +32,10 @@ class Simulator:
 
     def simulate(self, c2w, return_erp: bool = False):
         raise NotImplementedError
+
+    def probe_erp_dist(self, c2w):
+        """ERP distance map only — what collision probes consume (planner
+        detect_collision, ref detect_collision_v2). Backends with a cheaper
+        distance-only path override this; the fallback renders the full
+        frame and discards everything but the distances."""
+        return self.simulate(c2w, return_erp=True)[3]

@@ -36,6 +36,9 @@ def _load_lib():
     lib.rc_render_erp.argtypes = [
         ctypes.c_void_p, fp, ctypes.c_int, ctypes.c_int, ctypes.c_float,
         fp, fp]
+    lib.rc_probe_erp.argtypes = [
+        ctypes.c_void_p, fp, ctypes.c_int, ctypes.c_int, ctypes.c_float, fp]
+    lib.rc_set_force_scalar.argtypes = [ctypes.c_void_p, ctypes.c_int]
     lib.rc_add_object.restype = ctypes.c_int
     lib.rc_add_object.argtypes = [ctypes.c_void_p, fp, ctypes.c_int, fp, ip,
                                   ctypes.c_int]
@@ -362,3 +365,18 @@ class RaycastSimulator(Simulator):
             self._handle, _fp(pose), He, We, ctypes.c_float(self.invalid),
             _fp(erp_color), _fp(erp_dist))
         return color, depth, erp_color, erp_dist
+
+    def probe_erp_dist(self, c2w) -> np.ndarray:
+        """Distance-only ERP render (rc_probe_erp): bit-identical to
+        simulate(..., return_erp=True)[3] but skips the pinhole render and
+        all shading/color work. Collision probes (planner.detect_collision)
+        only consume distances, so this is an exact whole-run saving —
+        probes were previously ~2x a mapped frame's render cost."""
+        He, We = self.cfg.sim.erp_hw
+        pose = np.ascontiguousarray(
+            np.asarray(c2w, dtype=np.float32)).reshape(16)
+        erp_dist = np.empty((He, We), dtype=np.float32)
+        self._lib.rc_probe_erp(
+            self._handle, _fp(pose), He, We, ctypes.c_float(self.invalid),
+            _fp(erp_dist))
+        return erp_dist
