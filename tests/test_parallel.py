@@ -223,3 +223,33 @@ def test_sharded_grad_collective_structure():
     # or broke the fusion — find it before shipping; if LOW, update the
     # bound and celebrate.
     assert 0 < total <= 6, f"collective structure changed: {counts}"
+
+
+def test_sharded_volume_collective_structure():
+    """Same structural pin for the sharded dense volume query (VERDICT r4
+    next-step #8): the query is embarrassingly data-parallel over the
+    flattened voxel axis — replicated params in, sharded sdf/uncert out —
+    so the compiled program must contain NO collectives at all (any
+    all-gather here would mean XLA is resharding the voxel axis or
+    gathering the table)."""
+    import importlib.util
+    import pathlib
+    import re
+
+    path = pathlib.Path(__file__).resolve().parents[1] / "__graft_entry__.py"
+    s = importlib.util.spec_from_file_location("graft_entry4", path)
+    mod = importlib.util.module_from_spec(s)
+    s.loader.exec_module(mod)
+
+    from naruto_tpu.mapping.mapper import Mapper
+
+    cfg = mod.tiny_mapper_config(8)
+    m = Mapper(cfg)
+    assert m._sharded_vol is not None
+    txt = m._sharded_vol.lower(
+        m.state.params, m._grid01_padded).compile().as_text()
+    pat = re.compile(r"(?<!%)\b(all-reduce|all-gather|reduce-scatter|"
+                     r"collective-permute|all-to-all)(-start|-done)?\(")
+    hits = [mm.group(0) for mm in pat.finditer(txt)
+            if mm.group(2) != "-done"]
+    assert not hits, f"sharded volume query grew collectives: {hits}"
