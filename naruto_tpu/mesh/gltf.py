@@ -374,3 +374,60 @@ def load_gltf(path: str, quiet: bool = False, up=None, front=None
                              front if front is not None else [0.0, 0.0, -1.0])
         verts = verts @ rot.T
     return verts, faces, colors
+
+
+def write_glb(path: str, verts: np.ndarray, faces: np.ndarray,
+              colors: Optional[np.ndarray] = None) -> None:
+    """Minimal GLB 2.0 writer: one TRIANGLES primitive with POSITION (+
+    COLOR_0 when given, float vec3 in [0,1]) and uint32 indices. Used to
+    package synthesized scene meshes as .glb so NARUTO-dataset runs
+    exercise the same gltf->raycaster asset path the reference's habitat
+    pipeline uses for its custom scenes (habitat_utils.py:182-215)."""
+    v = np.ascontiguousarray(verts, dtype=np.float32)
+    f = np.ascontiguousarray(faces, dtype=np.uint32)
+    blobs = [v.tobytes(), f.tobytes()]
+    views = [
+        {"buffer": 0, "byteOffset": 0, "byteLength": len(blobs[0]),
+         "target": 34962},
+        {"buffer": 0, "byteOffset": len(blobs[0]),
+         "byteLength": len(blobs[1]), "target": 34963},
+    ]
+    accessors = [
+        {"bufferView": 0, "componentType": 5126, "count": len(v),
+         "type": "VEC3", "min": v.min(axis=0).tolist(),
+         "max": v.max(axis=0).tolist()},
+        {"bufferView": 1, "componentType": 5125, "count": f.size,
+         "type": "SCALAR"},
+    ]
+    attrs = {"POSITION": 0}
+    if colors is not None:
+        c = np.ascontiguousarray(colors[:, :3], dtype=np.float32)
+        off = sum(len(b) for b in blobs)
+        blobs.append(c.tobytes())
+        views.append({"buffer": 0, "byteOffset": off,
+                      "byteLength": len(blobs[-1]), "target": 34962})
+        accessors.append({"bufferView": 2, "componentType": 5126,
+                          "count": len(c), "type": "VEC3"})
+        attrs["COLOR_0"] = 2
+    bin_chunk = b"".join(blobs)
+    bin_chunk += b"\x00" * ((-len(bin_chunk)) % 4)
+    gltf = {
+        "asset": {"version": "2.0", "generator": "naruto_tpu"},
+        "scene": 0,
+        "scenes": [{"nodes": [0]}],
+        "nodes": [{"mesh": 0}],
+        "meshes": [{"primitives": [{"attributes": attrs, "indices": 1,
+                                    "mode": 4}]}],
+        "buffers": [{"byteLength": len(bin_chunk)}],
+        "bufferViews": views,
+        "accessors": accessors,
+    }
+    js = json.dumps(gltf, separators=(",", ":")).encode()
+    js += b" " * ((-len(js)) % 4)
+    total = 12 + 8 + len(js) + 8 + len(bin_chunk)
+    with open(path, "wb") as fh:
+        fh.write(struct.pack("<4sII", b"glTF", 2, total))
+        fh.write(struct.pack("<I4s", len(js), b"JSON"))
+        fh.write(js)
+        fh.write(struct.pack("<I4s", len(bin_chunk), b"BIN\x00"))
+        fh.write(bin_chunk)

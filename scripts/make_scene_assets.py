@@ -29,6 +29,10 @@ def main() -> None:
     p.add_argument("--scene", default="office0")
     p.add_argument("--voxel", type=float, default=None,
                    help="marching-cubes voxel (default: cfg.mesh.voxel_eval)")
+    p.add_argument("--format", choices=("ply", "glb"), default="ply",
+                   help="glb packages the mesh for the gltf->raycaster "
+                        "path (NARUTO-dataset scenes ship as .glb in the "
+                        "reference habitat pipeline)")
     args = p.parse_args()
 
     import jax
@@ -51,8 +55,15 @@ def main() -> None:
               * 255).astype(np.uint8)
     out = os.path.join("data", args.dataset, args.scene)
     os.makedirs(out, exist_ok=True)
-    write_ply(os.path.join(out, "mesh.ply"), verts, f, colors=colors)
-    print(f"wrote {out}/mesh.ply: {len(verts)} verts, {len(f)} faces")
+    if args.format == "glb":
+        from naruto_tpu.mesh.gltf import write_glb
+
+        write_glb(os.path.join(out, "mesh.glb"), verts, f,
+                  colors=colors.astype(np.float32) / 255.0)
+    else:
+        write_ply(os.path.join(out, "mesh.ply"), verts, f, colors=colors)
+    print(f"wrote {out}/mesh.{args.format}: {len(verts)} verts, "
+          f"{len(f)} faces")
 
 
 if __name__ == "__main__":

@@ -235,3 +235,22 @@ def test_raycast_stage_config_json(tmp_path):
     color, depth = sim.simulate(c2w)[:2]
     center = depth[14:18, 14:18]
     np.testing.assert_allclose(center, 2.0, atol=1e-3)
+
+
+def test_write_glb_roundtrip(tmp_path):
+    """write_glb -> load_gltf round-trip: the synthesized NARUTO scene
+    assets take this exact path into the raycaster."""
+    import numpy as np
+
+    from naruto_tpu.mesh.gltf import load_gltf, write_glb
+
+    rng = np.random.default_rng(0)
+    v = rng.uniform(-2, 2, (40, 3)).astype(np.float32)
+    f = rng.integers(0, 40, (30, 3)).astype(np.int32)
+    c = rng.uniform(0, 1, (40, 3)).astype(np.float32)
+    p = str(tmp_path / "mesh.glb")
+    write_glb(p, v, f, colors=c)
+    v2, f2, c2 = load_gltf(p, quiet=True)
+    np.testing.assert_array_equal(v2, v)
+    np.testing.assert_array_equal(f2, f)
+    np.testing.assert_allclose(c2, c, atol=1e-6)
