@@ -282,6 +282,19 @@ def _outer_from_sorted(si: jnp.ndarray, sa16: jnp.ndarray,
                 [sb16, jnp.zeros((pad, kb), sb16.dtype)])
         interp = jax.default_backend() != "tpu"
         cs_inc = outer_cumsum(sa16, sb16, interpret=interp)  # inclusive
+        import os
+        if os.environ.get("NARUTO_BOUND_DIFF") == "gather2":
+            # A/B knob (r5): shift the TINY index vector and gather twice
+            # instead of padding/shifting the WIDE [size, A*B] hi — trades
+            # the size*A*B-footprint pad+subtract for a second boundary
+            # gather that XLA can fuse into the subtraction
+            ub_prev = jnp.concatenate(
+                [jnp.zeros((1,), ub.dtype), ub[:-1]])
+            hi = jnp.where((ub > 0)[:, None],
+                           cs_inc[jnp.maximum(ub - 1, 0)], 0.0)
+            lo = jnp.where((ub_prev > 0)[:, None],
+                           cs_inc[jnp.maximum(ub_prev - 1, 0)], 0.0)
+            return hi - lo
         # hi[t] = total of all entries with key <= t (monotone per slot);
         # per-slot sums are adjacent differences — ONE boundary gather
         # instead of two (the lo gather is just hi shifted by one slot)
