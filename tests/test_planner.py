@@ -571,6 +571,11 @@ class TestCollisionSimOverride:
             erp.flat[1:1 + n_inv] = 1e8
             return None, None, None, erp
 
+        def probe_erp_dist(self, pose):
+            # planner probes go through the distance-only interface
+            # (sim.base.Simulator.probe_erp_dist); mirror its fallback
+            return self.simulate(pose, return_erp=True)[3]
+
     def _mk(self, override, sim):
         cfg = deep_update(_planner_cfg(), {
             "planner": {"collision_sim_override": override}})
