@@ -28,7 +28,19 @@ def main(argv=None):
                    help="frustum-cull the rec mesh with ckpt poses first")
     p.add_argument("--align", action="store_true", help="ICP align first")
     p.add_argument("--n_samples", type=int, default=200_000)
+    p.add_argument("--platform", default="cpu",
+                   help="jax platform for the MAD field queries (default "
+                        "cpu: offline eval must not contend for the "
+                        "single-client TPU claim a live run may hold)")
     args = p.parse_args(argv)
+
+    if args.platform:
+        import jax
+
+        try:
+            jax.config.update("jax_platforms", args.platform)
+        except Exception:
+            pass  # backend already initialized
 
     from naruto_tpu.config import make_config
     from naruto_tpu.evaluation import (
@@ -37,9 +49,16 @@ def main(argv=None):
     from naruto_tpu.mesh.ply import read_ply
     from naruto_tpu.utils.results import update_results_file
 
+    def _load_mesh(path):
+        if path.lower().endswith((".glb", ".gltf")):
+            from naruto_tpu.mesh.gltf import load_gltf
+
+            return load_gltf(path, quiet=True)
+        return read_ply(path)
+
     cfg = make_config(args.dataset, args.scene)
-    rec_v, rec_f, _ = read_ply(args.rec)
-    gt_v, gt_f, _ = read_ply(args.gt)
+    rec_v, rec_f, _ = _load_mesh(args.rec)
+    gt_v, gt_f, _ = _load_mesh(args.gt)
 
     results = {}
     mapper = None

@@ -215,12 +215,16 @@ class Engine:
             bound = cfg.mapper.bound_np
             gt_path = os.path.join(out, "gt_mesh.ply")
             write_ply(gt_path, v_vox * vs + bound[:, 0], f)
-        elif cfg.sim.scene_path.endswith(".ply") \
+        elif cfg.sim.scene_path.lower().endswith((".ply", ".glb", ".gltf")) \
                 and os.path.exists(cfg.sim.scene_path):
             gt_path = cfg.sim.scene_path
-        elif os.path.isfile(os.path.join(cfg.sim.scene_path, "mesh.ply")):
-            # raycast scene dir (mesh.ply [+ traj.txt for passive replays])
-            gt_path = os.path.join(cfg.sim.scene_path, "mesh.ply")
+        else:
+            for name in ("mesh.ply", "mesh.glb"):
+                cand = os.path.join(cfg.sim.scene_path, name)
+                if os.path.isfile(cand):
+                    # raycast scene dir (+ optional traj.txt for replays)
+                    gt_path = cand
+                    break
 
         # full metric row — acc/comp/ratio/MAD merged next to traj_length
         # (ref eval_replica.sh pipeline + update_results_file,
@@ -232,7 +236,12 @@ class Engine:
 
                 rec_v, rec_f, _ = read_ply(os.path.join(
                     out, f"mesh_{cfg.general.num_iter:04d}_final.ply"))
-                gt_v, gt_f, _ = read_ply(gt_path)
+                if gt_path.lower().endswith((".glb", ".gltf")):
+                    from naruto_tpu.mesh.gltf import load_gltf
+
+                    gt_v, gt_f, _ = load_gltf(gt_path, quiet=True)
+                else:
+                    gt_v, gt_f, _ = read_ply(gt_path)
                 row = eval_mesh(rec_v, rec_f, gt_v, gt_f)
                 row["mad_cm"] = eval_mad(self.mapper, gt_v, gt_f)
                 update_results_file(row, os.path.join(out, "eval_result.txt"))
