@@ -26,13 +26,28 @@ def lib_path(name: str) -> Path:
     return NATIVE_DIR / f"lib{name}.so"
 
 
+def _dep_stamp(deps: list[Path]) -> str:
+    import hashlib
+
+    h = hashlib.sha256()
+    for d in deps:
+        if d.exists():
+            h.update(d.read_bytes())
+    return h.hexdigest()
+
+
 def ensure_built(name: str, verbose: bool = False) -> str:
     srcs = [NATIVE_DIR / s for s in SOURCES[name]]
     out = lib_path(name)
-    # build.py itself counts for staleness so CXXFLAGS changes rebuild
+    # Content-hash staleness check (mtimes are unreliable: a fresh git
+    # checkout stamps every file with checkout time, which once shadowed a
+    # source rewrite behind a stale committed binary). build.py itself
+    # counts as a dep so CXXFLAGS changes rebuild.
     deps = srcs + [Path(__file__)]
-    if out.exists() and all(out.stat().st_mtime >= s.stat().st_mtime
-                            for s in deps if s.exists()):
+    stamp_file = NATIVE_DIR / f".{name}.stamp"
+    stamp = _dep_stamp(deps)
+    if (out.exists() and stamp_file.exists()
+            and stamp_file.read_text().strip() == stamp):
         return str(out)
     missing = [s for s in srcs if not s.exists()]
     if missing:
@@ -41,6 +56,7 @@ def ensure_built(name: str, verbose: bool = False) -> str:
     if verbose:
         print(" ".join(cmd), file=sys.stderr)
     subprocess.run(cmd, check=True, capture_output=not verbose)
+    stamp_file.write_text(stamp)
     return str(out)
 
 
