@@ -253,3 +253,40 @@ class TestPassivePrefetch:
                      if i == 0 or i % me == 0 or i % ke == 0)
         assert len(calls) <= needed + 1
         assert len(calls) < 8
+
+
+def test_native_build_stamp_rebuilds_on_content_change(tmp_path, monkeypatch):
+    """ensure_built must rebuild when SOURCE CONTENT changes even if the
+    output binary carries a newer mtime — the exact failure mode of a fresh
+    git checkout over a committed stale .so (round 5: the SAH raycaster
+    rewrite was silently shadowed; symbol rc_probe_erp missing)."""
+    from naruto_tpu.native import build
+
+    src = tmp_path / "toy.cpp"
+    src.write_text('extern "C" int toy_v() { return 1; }\n')
+    monkeypatch.setattr(build, "NATIVE_DIR", tmp_path)
+    monkeypatch.setitem(build.SOURCES, "toy", ["toy.cpp"])
+
+    import ctypes
+
+    lib_path = build.ensure_built("toy")
+    assert ctypes.CDLL(lib_path).toy_v() == 1
+
+    # Rewrite the source, then FORCE the stale binary to look newer
+    # (checkout semantics). The hash stamp must still trigger a rebuild.
+    # (dlopen caches handles by path, so the recompile is observed via the
+    # binary's bytes, not a second CDLL load.)
+    src.write_text('extern "C" int toy_v() { return 2; }\n')
+    out = build.lib_path("toy")
+    bytes_v1 = out.read_bytes()
+    stale_future = out.stat().st_mtime + 3600
+    os.utime(out, (stale_future, stale_future))
+    build.ensure_built("toy")
+    assert out.read_bytes() != bytes_v1
+
+    # And a second call with nothing changed is a cache hit (no recompile:
+    # the stamp file's mtime is the cheap observable).
+    stamp = tmp_path / ".toy.stamp"
+    t0 = stamp.stat().st_mtime
+    build.ensure_built("toy")
+    assert stamp.stat().st_mtime == t0
