@@ -80,7 +80,11 @@ SCENE_OVERRIDES: Dict[str, Dict[str, dict]] = {
         # finer voxels (configs/NARUTO/*/{NARUTO.py planner section,
         # coslam.yaml mesh section})
         "hokage_room": {"vis": {"save_mesh_voxel_size": 0.1},
-                        "mesh": {"voxel_eval": 0.05, "voxel_final": 0.02}},
+                        "mesh": {"voxel_eval": 0.05, "voxel_final": 0.02},
+                        # host-render-bound 22.5x22 m glb on a 1-core box:
+                        # probe at 256x512 — detect_collision consumes only
+                        # min/ratio statistics (PARITY.md #13)
+                        "sim": {"probe_hw": (256, 512)}},
         "jiraiya": {"planner": {"voxel_size": 0.02},
                     "mapper": {"voxel_size": 0.02},
                     "vis": {"save_mesh_voxel_size": 0.05},

@@ -309,6 +309,15 @@ class SimConfig:
     focal: float = 600.0
     # equirectangular sensor (collision sensing)
     erp_hw: Tuple[int, int] = (1024, 2048)
+    # collision-probe resolution override. The planner's detect_collision
+    # consumes only GLOBAL statistics of the probe (min distance +
+    # invalid-pixel ratio, ref naruto_planner.py:534-541), so on host-
+    # render-bound scenes (NARUTO glb, 1-core box) a reduced probe grid
+    # is a measured-cost knob: 256x512 cuts the 0.8 s/step hokage_room
+    # probe ~16x while nearby obstacles (the ones under
+    # collision_dist_thre) still subtend many probe pixels. None = probe
+    # at erp_hw (bit-exact reference semantics; PARITY.md deviation #13).
+    probe_hw: Optional[Tuple[int, int]] = None
     invalid_depth_value: float = 1e8   # ref: habitat_simulator.py:142
     analytic_scene: str = "box_room"   # analytic backend scene preset
     # dynamic rigid objects for the raycast backend — parity with the

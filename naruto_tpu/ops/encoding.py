@@ -208,6 +208,22 @@ def derived_cell_rows(grid: jnp.ndarray, res: int, dtype) -> jnp.ndarray:
     poorly), and its autodiff transpose replaces the slice-add scatter in
     the backward."""
     F = grid.shape[-1]
+    import os
+    if dtype == jnp.bfloat16 and os.environ.get("NARUTO_DENSE_BF16_CONV"):
+        # r5 glue knob: the one-hot conv copies exactly one grid value per
+        # output element, so bf16-casting the SMALL vertex grid first
+        # ([42^3, F], ~0.03 ms) is bit-identical to converting the 8x
+        # larger conv output ([41^3, 8F] — convert_reduce_fusion.22,
+        # 0.93 ms/iter in the r5 BA trace) and keeps the conv on the MXU's
+        # native bf16 path
+        out = jax.lax.conv_general_dilated(
+            grid[None].astype(jnp.bfloat16),
+            jnp.asarray(_patch_kernel(F)).astype(jnp.bfloat16),
+            (1, 1, 1), "VALID",
+            dimension_numbers=("NDHWC", "DHWIO", "NDHWC"),
+            precision=jax.lax.Precision.HIGHEST,
+            preferred_element_type=jnp.bfloat16)
+        return out[0].reshape(res ** 3, 8 * F)
     out = jax.lax.conv_general_dilated(
         grid[None].astype(jnp.float32), jnp.asarray(_patch_kernel(F)),
         (1, 1, 1), "VALID",

@@ -115,18 +115,22 @@ def dense_segment_sum_outer(indices: jnp.ndarray, a: jnp.ndarray,
 
 
 def _pack_pairs_level_major(x2d: jnp.ndarray, n_levels: int,
-                            width: int) -> jnp.ndarray:
-    """[N, L*width] float -> [L*N, width//2] int32 of packed bf16 pairs,
-    level-major rows. Built exclusively from within-row reshapes, column
-    slices, and an axis-0 concat — no [N, L*K] -> [N*L, K] row-splitting
-    reshape (which costs a multi-ms physical relayout on v5e at M~500k;
-    the segment sum is row-order invariant so level-major is free)."""
+                            width: int, pad_rows: int = 0) -> jnp.ndarray:
+    """[N, L*width] float -> [L*N (+pad_rows), width//2] int32 of packed
+    bf16 pairs, level-major rows. Built exclusively from within-row
+    reshapes, column slices, and an axis-0 concat — no [N, L*K] -> [N*L, K]
+    row-splitting reshape (which costs a multi-ms physical relayout on v5e
+    at M~500k; the segment sum is row-order invariant so level-major is
+    free). pad_rows appends zero rows INSIDE the same concat (free vs a
+    separate pad that re-copies the whole array)."""
     n = x2d.shape[0]
     p = x2d.astype(jnp.bfloat16) \
         .reshape(n, n_levels * width // 2, 2).view(jnp.int32)[..., 0]
     cols = width // 2
-    return jnp.concatenate(
-        [p[:, lv * cols:(lv + 1) * cols] for lv in range(n_levels)], axis=0)
+    parts = [p[:, lv * cols:(lv + 1) * cols] for lv in range(n_levels)]
+    if pad_rows:
+        parts.append(jnp.zeros((pad_rows, cols), jnp.int32))
+    return jnp.concatenate(parts, axis=0)
 
 
 def dense_segment_sum_outer_level_major(
@@ -240,21 +244,47 @@ def dense_segment_sum_outer_level_major_frac(
 
     idx_nl: [N, L] int32 slot ids; frac_nl: [N, L, 3] in [0, 1];
     b_nl: [N, L*B]. Returns [size, 8*B]."""
+    import os
     n, L = idx_nl.shape
     kb = b_nl.shape[-1] // L
     _check_even(8, kb)
-    key = jnp.concatenate(
-        [idx_nl[:, lv] for lv in range(L)]).astype(jnp.int32)
+    # r5 glue knob: append INT32_MAX-keyed zero-value rows inside the
+    # level-major concats so M is already a multiple of the Pallas cumsum
+    # block (512) — the post-sort pad of the two [M, 8] bf16 operands
+    # (pad.1137/1138, 0.77 ms/iter in the r5 BA trace) disappears; the
+    # sentinel keys sort to the tail, never match a slot in _chunk_ranks
+    # (which counts keys <= t < size), and contribute 0 to the cumsum.
+    pad = ((-(n * L)) % 512
+           if os.environ.get("NARUTO_PRESORT_PAD") else 0)
+    key_parts = [idx_nl[:, lv] for lv in range(L)]
     qf = pack_frac(frac_nl)                               # [N, L]
-    qf_lm = jnp.concatenate([qf[:, lv] for lv in range(L)])
-    b16 = _pack_pairs_level_major(b_nl, L, kb)
+    qf_parts = [qf[:, lv] for lv in range(L)]
+    if pad:
+        key_parts.append(jnp.full((pad,), jnp.iinfo(jnp.int32).max,
+                                  idx_nl.dtype))
+        qf_parts.append(jnp.zeros((pad,), qf.dtype))
+    key = jnp.concatenate(key_parts).astype(jnp.int32)
+    qf_lm = jnp.concatenate(qf_parts)
+    b16 = _pack_pairs_level_major(b_nl, L, kb, pad_rows=pad)
     ops = (key, qf_lm) + tuple(b16[:, j] for j in range(kb // 2))
-    sorted_ops = _batched_sort(ops, L)
+    sorted_ops = _batched_sort(ops, L if not pad else 1)
     si = sorted_ops[0]
     m = si.shape[0]
     sa16 = corner_weights_from_packed(sorted_ops[1]).astype(jnp.bfloat16)
-    sb16 = jnp.stack(sorted_ops[2:], axis=-1)[..., None] \
-        .view(jnp.bfloat16).reshape(m, kb)
+    if os.environ.get("NARUTO_SORTED_UNPACK") == "cols":
+        # r5 glue knob: reassemble the sorted bf16-pair payload column by
+        # column ([M,1] u32 -> [M,2] bf16, one axis-1 concat) instead of
+        # stack+bitcast — the stack materializes u32[M, kb/2] in a
+        # column-major layout XLA then re-copies row-major
+        # (custom-call ConcatBitcast + copy.836 + fusion.586,
+        # ~0.95 ms/iter in the r5 BA trace). Identical element order:
+        # sorted column j carries bf16 feature pair (2j, 2j+1).
+        sb16 = jnp.concatenate(
+            [c[:, None].view(jnp.bfloat16) for c in sorted_ops[2:]],
+            axis=1)
+    else:
+        sb16 = jnp.stack(sorted_ops[2:], axis=-1)[..., None] \
+            .view(jnp.bfloat16).reshape(m, kb)
     return _outer_from_sorted(si, sa16, sb16, 8, kb, size, use_pallas)
 
 

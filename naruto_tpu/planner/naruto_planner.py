@@ -17,6 +17,7 @@ depending on dataset — ref :512-594).
 """
 from __future__ import annotations
 
+import time
 from typing import Dict, List, Optional
 
 import jax
@@ -176,7 +177,10 @@ class NarutoPlanner:
     def compute_next_state_pose(self, cur_pose, uncert_sdf_vols) -> np.ndarray:
         s = self.state
         if s == "planning":
+            t0 = time.time()
             out = self.uncertainty_aware_planning(uncert_sdf_vols, cur_pose)
+            self.stats["plan_wall_s"] = (self.stats.get("plan_wall_s", 0.0)
+                                         + time.time() - t0)
             self.is_goal_reachable = out["is_goal_reachable"]
             self.lookat_tgts = out["lookat_tgts"]
             self.path = out["path"]
@@ -288,6 +292,11 @@ class NarutoPlanner:
             "uncert_mass_first": masses[0] if masses else None,
             "uncert_mass_min": min(masses) if masses else None,
             "uncert_mass_last": masses[-1] if masses else None,
+            # host wall-clock decomposition (glb/MP3D runs are host-bound;
+            # these separate sim probes from goal-search+RRT planning)
+            "plan_wall_s": round(self.stats.get("plan_wall_s", 0.0), 1),
+            "probe_wall_s": round(self.stats.get("probe_wall_s", 0.0), 1),
+            "n_probes": self.stats.get("n_probes", 0),
         }
 
     def _aggregate(self, uncert_vol, sdf_vol):
@@ -367,7 +376,11 @@ class NarutoPlanner:
         if self.sim is not None and dataset in ("MP3D", "NARUTO"):
             next_pose = cur_pose.copy()
             next_pose[:3, 3] = next_pt_loc
+            t0 = time.time()
             erp_dist = np.asarray(self.sim.probe_erp_dist(next_pose))
+            self.stats["probe_wall_s"] = (
+                self.stats.get("probe_wall_s", 0.0) + time.time() - t0)
+            self.stats["n_probes"] = self.stats.get("n_probes", 0) + 1
             dist_closest = float(erp_dist.min())
             invalid_ratio = float((erp_dist > 1e6).mean())
 
@@ -397,7 +410,11 @@ class NarutoPlanner:
             if np.isinf(dist_closest):
                 next_pose = cur_pose.copy()
                 next_pose[:3, 3] = next_pt_loc
+                t0 = time.time()
                 erp_dist = np.asarray(self.sim.probe_erp_dist(next_pose))
+                self.stats["probe_wall_s"] = (
+                    self.stats.get("probe_wall_s", 0.0) + time.time() - t0)
+                self.stats["n_probes"] = self.stats.get("n_probes", 0) + 1
                 dist_closest = float(erp_dist.min())
                 invalid_ratio = float((erp_dist > 1e6).mean())
             if dist_closest >= override and invalid_ratio <= thre:

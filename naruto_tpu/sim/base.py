@@ -37,5 +37,6 @@ class Simulator:
         """ERP distance map only — what collision probes consume (planner
         detect_collision, ref detect_collision_v2). Backends with a cheaper
         distance-only path override this; the fallback renders the full
-        frame and discards everything but the distances."""
+        frame and discards everything but the distances (sim.probe_hw is
+        honored only by backends with a resolution-parametric path)."""
         return self.simulate(c2w, return_erp=True)[3]

@@ -371,8 +371,11 @@ class RaycastSimulator(Simulator):
         simulate(..., return_erp=True)[3] but skips the pinhole render and
         all shading/color work. Collision probes (planner.detect_collision)
         only consume distances, so this is an exact whole-run saving —
-        probes were previously ~2x a mapped frame's render cost."""
-        He, We = self.cfg.sim.erp_hw
+        probes were previously ~2x a mapped frame's render cost.
+
+        sim.probe_hw (when set) further shrinks the probe grid — the
+        consumers only take min/mean statistics (PARITY.md #13)."""
+        He, We = self.cfg.sim.probe_hw or self.cfg.sim.erp_hw
         pose = np.ascontiguousarray(
             np.asarray(c2w, dtype=np.float32)).reshape(16)
         erp_dist = np.empty((He, We), dtype=np.float32)

@@ -166,6 +166,15 @@ class Engine:
                     cfg.general.result_dir, cfg.general.dataset,
                     cfg.general.scene, "full_state_latest.pkl"),
                     extra=extra)
+            if (i + 1) % 250 == 0:
+                # mid-run wall-clock decomposition: long glb/MP3D runs are
+                # host-bound in ways that differ per scene; the final
+                # report alone can't tell probes from RRT from renders
+                print(f"[Engine] step {i + 1} timers:\n"
+                      f"{self.timer.summary()}", flush=True)
+                stats_fn = getattr(self.planner, "stats_summary", None)
+                if cfg.enable_active_planning and stats_fn:
+                    print(f"[Engine] planner: {stats_fn()}", flush=True)
         if prefetcher is not None:
             prefetcher.close()
         return np.asarray(c2w)

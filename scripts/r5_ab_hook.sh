@@ -29,3 +29,42 @@ if [ ! -f results/r5_ab_bound_diff.done ]; then
     } >>"$AB" 2>&1 && touch results/r5_ab_bound_diff.done \
         && echo "[hook] bound-diff A/B done -> $AB"
 fi
+
+# Stage 3 (session 7): three glue knobs from the resolved r5 trace+HLO,
+# priced solo in ONE bracket (gather2 measured -3.3% -> stays off):
+#   A NARUTO_DENSE_BF16_CONV  — bf16-cast the dense vertex grid BEFORE the
+#     one-hot corner conv (bit-identical; kills convert_reduce_fusion.22,
+#     0.93 ms/iter)
+#   B NARUTO_PRESORT_PAD      — fold the Pallas cumsum 512-alignment into
+#     the pre-sort level-major concats (kills pad.1137/1138, 0.77 ms/iter)
+#   C NARUTO_SORTED_UNPACK=cols — column-wise sorted-payload reassembly
+#     (targets ConcatBitcast+copy.836+fusion.586, ~0.95 ms/iter)
+AB3=results/r5_ab_glue.log
+if [ -f results/r5_ab_bound_diff.done ] && [ ! -f results/r5_ab_glue.done ]; then
+    {
+        echo "=== bracket_open $(date -u +%H:%M:%S)"
+        NARUTO_BENCH_TURBO=0 timeout 2400 python bench.py
+        echo "=== dense_bf16_conv $(date -u +%H:%M:%S)"
+        NARUTO_DENSE_BF16_CONV=1 NARUTO_BENCH_TURBO=0 timeout 2400 python bench.py
+        echo "=== presort_pad $(date -u +%H:%M:%S)"
+        NARUTO_PRESORT_PAD=1 NARUTO_BENCH_TURBO=0 timeout 2400 python bench.py
+        echo "=== sorted_unpack_cols $(date -u +%H:%M:%S)"
+        NARUTO_SORTED_UNPACK=cols NARUTO_BENCH_TURBO=0 timeout 2400 python bench.py
+        echo "=== bracket_close $(date -u +%H:%M:%S)"
+        NARUTO_BENCH_TURBO=0 timeout 2400 python bench.py
+    } >>"$AB3" 2>&1 && touch results/r5_ab_glue.done \
+        && echo "[hook] glue A/B done -> $AB3"
+fi
+
+# Stage 4: once defaults are flipped from the stage-3 measurements (the
+# flip drops a marker), warm the COMBINED default graph for the driver
+# bench (a multi-knob flip is a new graph; single-knob flips are already
+# warm from their A/B run).
+if [ -f results/r5_flip.done ] && [ ! -f results/r5_flip_warm.done ]; then
+    # NARUTO_BENCH_TURBO=1 forces the turbo row too: post-flip the turbo
+    # graph is also new, and the driver bench must find BOTH warm
+    NARUTO_BENCH_TURBO=1 timeout 3600 python bench.py \
+        > results/r5_flip_warm.log 2>&1 \
+        && touch results/r5_flip_warm.done \
+        && echo "[hook] flipped-default warm bench done"
+fi

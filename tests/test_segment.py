@@ -500,3 +500,58 @@ class TestHybridLayout:
         d = float(jnp.abs(hash_encode(table, xa, spec)
                           - hash_encode(table, xb, spec)).max())
         assert d < 1e-3  # the cell layout jumps O(1) here
+
+
+class TestR5GlueKnobs:
+    """r5 trace-targeted graph knobs must be EXACTLY output-preserving —
+    they reshuffle data movement (pads, stacks, converts), not math."""
+
+    def _frac_inputs(self, rng, n=333, L=4, per=16):
+        # level-range contract: column lv's ids in [lv*per, (lv+1)*per)
+        idx = (rng.integers(0, per, (n, L)) +
+               np.arange(L)[None, :] * per).astype(np.int32)
+        frac = rng.uniform(0, 1, (n, L, 3)).astype(np.float32)
+        b = rng.normal(size=(n, L * 4)).astype(np.float32)
+        return jnp.asarray(idx), jnp.asarray(frac), jnp.asarray(b), L * per
+
+    def test_presort_pad_exact(self, rng, monkeypatch):
+        """NARUTO_PRESORT_PAD folds the Pallas 512-alignment into the
+        pre-sort concats; sentinel rows (INT32_MAX key, zero values) must
+        leave every slot's sum bit-identical. n*L=1332 is NOT a multiple
+        of 512 so the pad path is actually exercised."""
+        from naruto_tpu.ops.segment import (
+            dense_segment_sum_outer_level_major_frac as f)
+        idx, frac, b, size = self._frac_inputs(rng)
+        monkeypatch.delenv("NARUTO_PRESORT_PAD", raising=False)
+        ref = np.asarray(f(idx, frac, b, size))
+        monkeypatch.setenv("NARUTO_PRESORT_PAD", "1")
+        out = np.asarray(f(idx, frac, b, size))
+        np.testing.assert_array_equal(out, ref)
+
+    def test_sorted_unpack_cols_exact(self, rng, monkeypatch):
+        """Column-wise reassembly of the sorted bf16-pair payload must
+        reproduce the stack+bitcast element order exactly."""
+        from naruto_tpu.ops.segment import (
+            dense_segment_sum_outer_level_major_frac as f)
+        idx, frac, b, size = self._frac_inputs(rng)
+        monkeypatch.delenv("NARUTO_SORTED_UNPACK", raising=False)
+        ref = np.asarray(f(idx, frac, b, size))
+        monkeypatch.setenv("NARUTO_SORTED_UNPACK", "cols")
+        out = np.asarray(f(idx, frac, b, size))
+        np.testing.assert_array_equal(out, ref)
+
+    def test_dense_bf16_conv_exact(self, rng, monkeypatch):
+        """bf16-casting the vertex grid BEFORE the one-hot corner conv is
+        bit-identical to converting the conv output (each output element
+        is an exact copy of one grid value)."""
+        from naruto_tpu.ops.encoding import derived_cell_rows
+        res = 7
+        grid = jnp.asarray(
+            rng.normal(size=(res + 1, res + 1, res + 1, 8))
+            .astype(np.float32))
+        monkeypatch.delenv("NARUTO_DENSE_BF16_CONV", raising=False)
+        ref = np.asarray(derived_cell_rows(grid, res, jnp.bfloat16))
+        monkeypatch.setenv("NARUTO_DENSE_BF16_CONV", "1")
+        out = np.asarray(derived_cell_rows(grid, res, jnp.bfloat16))
+        np.testing.assert_array_equal(
+            out.view(np.uint16), ref.view(np.uint16))
