@@ -1124,7 +1124,11 @@ class Mapper:
         from naruto_tpu.utils import ckpt_io
 
         meta = {"kind": "full_state", "step": int(self.step),
-                "grid_layout": getattr(self.cfg.grid, "layout", "?")}
+                "grid_layout": getattr(self.cfg.grid, "layout", "?"),
+                # the BA sampling key lives OUTSIDE MapperState (it is
+                # split on the host); persist it so a resumed run draws
+                # the same ray batches the uninterrupted run would
+                "rng_key": [int(v) for v in np.asarray(self._key)]}
         if extra:
             meta["extra"] = extra
         ckpt_io.save_tree(path, self.state._asdict(), meta=meta)
@@ -1158,6 +1162,8 @@ class Mapper:
             self._check_param_compat(blob["params"])
             self.step = int(meta.get("step", 0))
             extra = meta.get("extra", {})
+            if meta.get("rng_key") is not None:
+                self._key = jnp.asarray(meta["rng_key"], jnp.uint32)
         state = jax.tree_util.tree_map(jnp.asarray, blob)
         self.state = MapperState(**state)
         self._kf_count = int(self.state.kf.count)

@@ -77,7 +77,21 @@ class NarutoPlanner:
         return {"goal_visits": {",".join(str(int(i)) for i in k): int(v)
                                 for k, v in self._goal_visits.items()},
                 "last_goal_gi": (None if self._last_goal_gi is None
-                                 else [int(i) for i in self._last_goal_gi])}
+                                 else [int(i) for i in self._last_goal_gi]),
+                # FSM position: a resumed run continues the in-flight plan
+                # instead of restarting at "staying" (which would waste a
+                # planning cycle and desynchronize from the saved poses)
+                "fsm": {
+                    "state": self.state,
+                    "path": [[float(v) for v in np.asarray(p)]
+                             for p in self.path],
+                    "lookat_tgts": [[float(v) for v in np.asarray(t)]
+                                    for t in self.lookat_tgts],
+                    "rots": [np.asarray(r).reshape(-1).tolist()
+                             for r in self.rots],
+                    "is_goal_reachable": bool(self.is_goal_reachable),
+                    "agg_key": [int(v) for v in np.asarray(self._agg_key)],
+                }}
 
     def restore_state(self, blob: Dict) -> None:
         self._goal_visits = {
@@ -86,6 +100,20 @@ class NarutoPlanner:
         gi = blob.get("last_goal_gi")
         self._last_goal_gi = None if gi is None else tuple(
             int(i) for i in gi)
+        fsm = blob.get("fsm")
+        if fsm:
+            self.state = fsm["state"]
+            self.path = [np.asarray(p, np.float32) for p in fsm["path"]]
+            self.lookat_tgts = [np.asarray(t, np.float32)
+                                for t in fsm["lookat_tgts"]]
+            self.rots = [np.asarray(r, np.float32).reshape(3, 3)
+                         for r in fsm["rots"]]
+            self.is_goal_reachable = bool(fsm["is_goal_reachable"])
+            if fsm.get("agg_key") is not None:
+                self._agg_key = jax.numpy.asarray(
+                    fsm["agg_key"], dtype=jax.numpy.uint32)
+            # NOT restored: the numpy RRT rng (a resumed run's tree
+            # sampling diverges from the uninterrupted one — documented)
 
     def update_sim(self, sim) -> None:
         self.sim = sim

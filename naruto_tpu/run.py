@@ -27,6 +27,10 @@ def parse_args(argv=None):
                    help="scene asset path for replay/raycast backends")
     p.add_argument("--platform", type=str, default=None,
                    help="force jax platform (e.g. cpu) before any compute")
+    p.add_argument("--resume", type=str, default=None,
+                   help="full-state snapshot to resume from ('auto' = the "
+                        "run dir's full_state_latest.pkl; requires "
+                        "general.ckpt_freq > 0 to have written one)")
     return p.parse_args(argv)
 
 
@@ -65,7 +69,16 @@ def main(argv=None):
     from naruto_tpu.system.engine import Engine
 
     engine = Engine(cfg)
-    engine.run()
+    resume = args.resume
+    if resume == "auto":
+        import os
+
+        resume = os.path.join(cfg.general.result_dir, cfg.general.dataset,
+                              cfg.general.scene, "full_state_latest.pkl")
+        if not os.path.exists(resume):
+            print(f"[resume] no snapshot at {resume}; starting fresh")
+            resume = None
+    engine.run(resume_from=resume)
     engine.finalize()
 
 

@@ -94,10 +94,35 @@ class Engine:
             c2w[:3, 3] = bound.mean(axis=1)
         return c2w
 
-    def run(self, num_iter: Optional[int] = None) -> np.ndarray:
+    def run(self, num_iter: Optional[int] = None,
+            resume_from: Optional[str] = None) -> np.ndarray:
+        """resume_from: path of a `save_full_state` snapshot (the periodic
+        `full_state_latest.pkl` the ckpt_freq block writes). Restores the
+        mapper pytree + rng key, the planner's FSM position and mitigation
+        counters, and the current pose, then continues at the saved
+        step + 1. The RRT's numpy rng is not restored, so tree sampling
+        after the resume point diverges from an uninterrupted run (the
+        mapper's BA ray draws do not — its key rides the checkpoint)."""
         cfg = self.cfg
         n = num_iter if num_iter is not None else cfg.general.num_iter
         c2w = self._init_pose()
+        start = 0
+        if resume_from:
+            extra = self.mapper.load_full_state(resume_from)
+            start = self.mapper.step + 1
+            if extra.get("c2w") is not None:
+                c2w = np.asarray(extra["c2w"], np.float32)
+            if extra.get("planner") and hasattr(self.planner,
+                                                "restore_state"):
+                self.planner.restore_state(extra["planner"])
+            if cfg.enable_active_planning:
+                # the restored FSM may be mid-plan (movingToGoal etc.),
+                # whose collision probes read uncert/sdf volumes before the
+                # mapper's next volume dispatch — recompute them from the
+                # restored field (volumes are a pure function of params)
+                self.uncert_sdf = self.mapper.get_map_volumes_lazy()
+            self.printer(f"Resumed from {resume_from} at step {start}",
+                         start, "Engine")
 
         # passive mode: frame i+1's pose is known -> double-buffered
         # host->HBM streaming (BASELINE north star; impossible in active
@@ -108,7 +133,8 @@ class Engine:
         vis_needs_rgbd = (self.visualizer is not None
                           and (cfg.vis.save_rgbd or cfg.vis.vis_rgbd))
         prefetcher = None
-        if not cfg.enable_active_planning and self.pose_loader.traj:
+        if (not cfg.enable_active_planning and self.pose_loader.traj
+                and start == 0):
             from naruto_tpu.sim.prefetch import FramePrefetcher
 
             prefetcher = FramePrefetcher(
@@ -117,7 +143,7 @@ class Engine:
                           else self.mapper.needs_frame),
                 horizon=min(n, len(self.pose_loader.traj)))
 
-        for i in range(n):
+        for i in range(start, n):
             # with a prefetcher the worker thread owns sim stepping (it
             # calls update_step ahead of the engine; stepping here too
             # would race the analytic sim's phase)
@@ -160,8 +186,9 @@ class Engine:
                         self.uncert_sdf, np.asarray(c2w), new_vols is not None)
 
             if cfg.general.ckpt_freq and i > 0 and i % cfg.general.ckpt_freq == 0:
-                extra = ({"planner": self.planner.export_state()}
-                         if hasattr(self.planner, "export_state") else None)
+                extra = {"c2w": np.asarray(c2w, np.float32).tolist()}
+                if hasattr(self.planner, "export_state"):
+                    extra["planner"] = self.planner.export_state()
                 self.mapper.save_full_state(os.path.join(
                     cfg.general.result_dir, cfg.general.dataset,
                     cfg.general.scene, "full_state_latest.pkl"),

