@@ -209,7 +209,12 @@ def derived_cell_rows(grid: jnp.ndarray, res: int, dtype) -> jnp.ndarray:
     the backward."""
     F = grid.shape[-1]
     import os
-    if dtype == jnp.bfloat16 and os.environ.get("NARUTO_DENSE_BF16_CONV"):
+    # NOTE: gather_dtype reaches here as the STRING "bfloat16" (GridConfig
+    # stores dtype names); np.dtype normalizes both spellings — comparing
+    # `dtype == jnp.bfloat16` directly is always False for the string and
+    # silently disabled this knob in the first r5 A/B (cache-hit tell).
+    if (np.dtype(dtype) == np.dtype(jnp.bfloat16)
+            and os.environ.get("NARUTO_DENSE_BF16_CONV")):
         # r5 glue knob: the one-hot conv copies exactly one grid value per
         # output element, so bf16-casting the SMALL vertex grid first
         # ([42^3, F], ~0.03 ms) is bit-identical to converting the 8x

@@ -254,8 +254,10 @@ def dense_segment_sum_outer_level_major_frac(
     # (pad.1137/1138, 0.77 ms/iter in the r5 BA trace) disappears; the
     # sentinel keys sort to the tail, never match a slot in _chunk_ranks
     # (which counts keys <= t < size), and contribute 0 to the cumsum.
+    # default ON since the r5 A/B (63.89 -> 67.75 it/s solo, exact output);
+    # NARUTO_PRESORT_PAD=0 restores the post-sort pad for A/B archaeology
     pad = ((-(n * L)) % 512
-           if os.environ.get("NARUTO_PRESORT_PAD") else 0)
+           if os.environ.get("NARUTO_PRESORT_PAD", "1") != "0" else 0)
     key_parts = [idx_nl[:, lv] for lv in range(L)]
     qf = pack_frac(frac_nl)                               # [N, L]
     qf_parts = [qf[:, lv] for lv in range(L)]
@@ -271,7 +273,9 @@ def dense_segment_sum_outer_level_major_frac(
     si = sorted_ops[0]
     m = si.shape[0]
     sa16 = corner_weights_from_packed(sorted_ops[1]).astype(jnp.bfloat16)
-    if os.environ.get("NARUTO_SORTED_UNPACK") == "cols":
+    # default "cols" since the r5 A/B (63.89 -> 67.39 it/s solo, identical
+    # element order); NARUTO_SORTED_UNPACK=stack restores the old assembly
+    if os.environ.get("NARUTO_SORTED_UNPACK", "cols") == "cols":
         # r5 glue knob: reassemble the sorted bf16-pair payload column by
         # column ([M,1] u32 -> [M,2] bf16, one axis-1 concat) instead of
         # stack+bitcast — the stack materializes u32[M, kb/2] in a
