@@ -68,3 +68,20 @@ if [ -f results/r5_flip.done ] && [ ! -f results/r5_flip_warm.done ]; then
         && touch results/r5_flip_warm.done \
         && echo "[hook] flipped-default warm bench done"
 fi
+
+# Stage 5: re-price the dense-grid bf16 conv knob (the stage-3 run was a
+# no-op: gather_dtype is a string and the guard compared it to the jnp
+# type — fixed post-A/B). Priced against the COMBINED flipped default
+# (presort_pad + unpack cols), which stage 4 has already warmed.
+AB5=results/r5_ab_bf16.log
+if [ -f results/r5_flip_warm.done ] && [ ! -f results/r5_ab_bf16.done ]; then
+    {
+        echo "=== bracket_open $(date -u +%H:%M:%S)"
+        NARUTO_BENCH_TURBO=0 timeout 2400 python bench.py
+        echo "=== dense_bf16_conv $(date -u +%H:%M:%S)"
+        NARUTO_DENSE_BF16_CONV=1 NARUTO_BENCH_TURBO=0 timeout 2400 python bench.py
+        echo "=== bracket_close $(date -u +%H:%M:%S)"
+        NARUTO_BENCH_TURBO=0 timeout 2400 python bench.py
+    } >>"$AB5" 2>&1 && touch results/r5_ab_bf16.done \
+        && echo "[hook] bf16-conv A/B done -> $AB5"
+fi
