@@ -85,3 +85,14 @@ if [ -f results/r5_flip_warm.done ] && [ ! -f results/r5_ab_bf16.done ]; then
     } >>"$AB5" 2>&1 && touch results/r5_ab_bf16.done \
         && echo "[hook] bf16-conv A/B done -> $AB5"
 fi
+
+# Stage 6: fresh steady-state trace of the FLIPPED default graph — names
+# whatever glue remains after presort_pad + unpack-cols (guides round 6).
+if [ -f results/r5_flip_warm.done ] && [ ! -f results/r5_trace2.done ]; then
+    timeout 1200 python scripts/profile_ba.py --trace-dir /tmp/ba_trace_r5b \
+        >/dev/null 2>&1 \
+    && timeout 300 python scripts/trace_summary.py /tmp/ba_trace_r5b \
+        > results/r5_trace2_summary.txt 2>&1 \
+    && touch results/r5_trace2.done \
+    && echo "[hook] post-flip trace -> results/r5_trace2_summary.txt"
+fi
